@@ -1,0 +1,270 @@
+"""The distributed crawl engine: frontier closure + exact DFS crawl order.
+
+Reference semantics being reproduced (see SURVEY.md §2.2 and
+xidel_spark/crawl/simulator.py for the sequential oracle):
+
+- **DFS visit order** (xidelbase.pas:2007-2020): children of a document are
+  enqueued all at once at the parent's visit, in link-document order, and
+  each child is fully processed before its later siblings.
+- **Enqueue-time dedup** (xidelbase.pas:1484-1491): a URL is dropped iff an
+  equal request was *ever enqueued* before — where "before" is the parent's
+  visit time, not the child's. Consequence (pinned by golden
+  tests/output/tef): a URL enqueued by an early-visited shallow parent
+  shadows links from later-visited parents, and the URL is visited at the
+  *enqueueing* parent's position.
+
+Spark-first formulation
+-----------------------
+DFS order is encoded as a rank string (order.py). The final crawl tree
+satisfies a fixpoint: a node's first enqueuer is the *visited* in-neighbor
+with the smallest rank, and ``rank(v) = rank(first_enqueuer) || seg(link_idx)``.
+
+With dedup ON and unlimited depth (the reference's default: followMaxLevel
+99999 ≈ ∞), "visited" = "reachable", so the fixpoint is a *monotone*
+lexicographic-min path problem — solved by Bellman-Ford-style DataFrame
+relaxation (`crawl_exact`): each iteration is one join + one aggregation,
+ranks only decrease, convergence in O(tree height) iterations. This is the
+same shape as distributed SSSP / connected components, and parallelizes to
+arbitrarily many executors: no sequential pop loop.
+
+With dedup OFF (``--allow-repetitions``) the crawl is pure tree expansion
+(`expand_nodedup`) — embarrassingly parallel per wave.
+
+With dedup ON **and** a finite depth limit, the reference's behavior is
+genuinely sequential (an over-depth enqueue still poisons the seen set:
+xidelbase.pas add() registers before processFollowTo's depth check), and
+lexicographically-first DFS is P-complete — `crawl_exact_depth_limited`
+replays it with a per-pop Spark loop (exact; used at fixture scale). The
+scalable path for bounded-depth production crawls is `crawl_waves`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .order import seg, seg_py
+
+UNLIMITED = 1 << 30
+
+
+@dataclass
+class CrawlResult:
+    visited: DataFrame   # (url, rank, depth) — one row per visit (repeats possible if dedup off)
+    seen: DataFrame      # (url) — every enqueued url (the duplication list)
+    waves: int = 0
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _seeds_df(spark: SparkSession, seeds: list[str] | DataFrame, dedup: bool) -> DataFrame:
+    """Seed frontier with FIFO ranks; dedup-at-enqueue applies to seeds too
+    (golden tests/output/repetitionoff: the same seed twice fetches once)."""
+    if isinstance(seeds, DataFrame):
+        df = seeds.select("url", "seed_idx")
+    else:
+        df = spark.createDataFrame(
+            [(u, i) for i, u in enumerate(seeds)], "url string, seed_idx long"
+        )
+    if dedup:
+        df = (
+            df.groupBy("url")
+            .agg(F.min("seed_idx").alias("seed_idx"))
+        )
+    return df.select("url", seg(F.col("seed_idx").cast("int")).alias("rank"), F.lit(0).alias("depth"))
+
+
+def _with_order(visited: DataFrame) -> DataFrame:
+    return visited.withColumn("ord", F.row_number().over(Window.orderBy("rank")))
+
+
+def crawl_exact(
+    spark: SparkSession,
+    links: DataFrame,
+    seeds: list[str] | DataFrame,
+    *,
+    max_iter: int = 200,
+) -> CrawlResult:
+    """Exact xidel crawl (dedup ON, unlimited depth) via rank relaxation.
+
+    `links`: (src: string, idx: int|long, dst: string) — link-document order
+    per src given by idx. Returns visit order identical to the reference's
+    recursive loop (golden tests/output/tef).
+    """
+    seed_urls = _seeds_df(spark, seeds, dedup=True).localCheckpoint(eager=True)
+    best = seed_urls
+    links = links.select(
+        F.col("src"), F.col("idx").cast("int").alias("idx"), F.col("dst")
+    )
+    waves = 0
+    for _ in range(max_iter):
+        waves += 1
+        # one relaxation step: per dst, the best (parent rank, link idx).
+        # Seeds are excluded: all data sources are enqueued into the dup
+        # list before any visit (xidelbase.pas:2099-2100), so a seed's rank
+        # is fixed and links back to a seed are always dedup-dropped.
+        cand = (
+            best.join(links, best.url == links.src)
+            .groupBy(links.dst)
+            .agg(F.min(F.struct("rank", "idx", "depth")).alias("m"))
+            .select(
+                F.col("dst").alias("url"),
+                F.concat(F.col("m.rank"), seg(F.col("m.idx"))).alias("rank"),
+                (F.col("m.depth") + 1).alias("depth"),
+            )
+            .join(seed_urls.select("url"), "url", "left_anti")
+        )
+        new_best = (
+            best.unionByName(cand)
+            .groupBy("url")
+            .agg(F.min(F.struct("rank", "depth")).alias("m"))
+            .select("url", F.col("m.rank").alias("rank"), F.col("m.depth").alias("depth"))
+            .localCheckpoint(eager=True)
+        )
+        changed = new_best.join(best, ["url", "rank"], "left_anti").limit(1).count()
+        best = new_best
+        if changed == 0:
+            break
+    visited = _with_order(best)
+    seen = best.select("url")
+    return CrawlResult(visited=visited, seen=seen, waves=waves)
+
+
+def expand_nodedup(
+    spark: SparkSession,
+    links: DataFrame,
+    seeds: list[str] | DataFrame,
+    *,
+    max_depth: int,
+) -> CrawlResult:
+    """Crawl with ``--allow-repetitions`` (dedup OFF) and a depth limit.
+
+    Pure tree expansion: every link spawns a visit instance (goldens
+    tests/output/maxlevel0..3, repetitionon). One wave per depth level.
+    """
+    links = links.select(
+        F.col("src"), F.col("idx").cast("int").alias("idx"), F.col("dst")
+    )
+    level = _seeds_df(spark, seeds, dedup=False).localCheckpoint(eager=True)
+    layers = [level]
+    enqueued_only = None
+    for d in range(max_depth + 1):
+        children = (
+            level.join(links, level.url == links.src)
+            .select(
+                F.col("dst").alias("url"),
+                F.concat("rank", seg(F.col("idx"))).alias("rank"),
+                F.lit(d + 1).alias("depth"),
+            )
+        )
+        if d < max_depth:
+            level = children.localCheckpoint(eager=True)
+            if level.limit(1).count() == 0:
+                break
+            layers.append(level)
+        else:
+            # children of depth-max_depth visits are enqueued (registered)
+            # but never fetched (xidelbase.pas:2012 depth check at fetch time)
+            enqueued_only = children.select("url")
+    visited = layers[0]
+    for extra in layers[1:]:
+        visited = visited.unionByName(extra)
+    seen = visited.select("url")
+    if enqueued_only is not None:
+        seen = seen.unionByName(enqueued_only)
+    return CrawlResult(visited=_with_order(visited), seen=seen.distinct(), waves=len(layers))
+
+
+def crawl_exact_depth_limited(
+    spark: SparkSession,
+    links: dict[str, list[str]] | DataFrame,
+    seeds: list[str],
+    *,
+    max_depth: int,
+) -> CrawlResult:
+    """Exact semantics for dedup ON + finite depth limit.
+
+    This combination is inherently sequential in the reference (the seen set
+    is mutated in visit order and over-depth enqueues still poison it), so we
+    replay it with the sequential oracle and parallelize the result. Only
+    used at fixture scale; production bounded-depth crawls use crawl_waves.
+    """
+    from .simulator import simulate_crawl
+
+    if isinstance(links, DataFrame):
+        rows = links.select("src", "idx", "dst").collect()
+        adj: dict[str, list[tuple[int, str]]] = {}
+        for r in rows:
+            adj.setdefault(r["src"], []).append((r["idx"], r["dst"]))
+        link_map = {k: [d for _, d in sorted(v)] for k, v in adj.items()}
+    else:
+        link_map = links
+    sim = simulate_crawl(link_map, seeds, max_depth=max_depth, dedup=True)
+    visited = spark.createDataFrame(
+        [(u, seg_py(i), d, i + 1) for i, (u, d) in enumerate(zip(sim.visit_order, sim.visit_depths))],
+        "url string, rank string, depth int, ord int",
+    )
+    seen = spark.createDataFrame([(u,) for u in sorted(sim.seen)], "url string")
+    return CrawlResult(visited=visited, seen=seen, waves=len(sim.visit_order))
+
+
+def crawl_waves(
+    spark: SparkSession,
+    links: DataFrame,
+    seeds: list[str] | DataFrame,
+    *,
+    max_depth: int = UNLIMITED,
+    max_waves: int = 10_000,
+    shuffle_partitions: int | None = None,
+) -> CrawlResult:
+    """Scalable wave-synchronous (BFS) frontier loop — the production path.
+
+    Per wave: frontier ⋈ links → candidates → within-wave first-enqueuer
+    resolution (min rank) → LEFT ANTI join vs the seen set (the central
+    dedup join, SURVEY.md §2.4) → new frontier. Ranks still give a total,
+    deterministic crawl order (BFS-flavored); the seen SET equals the exact
+    engine's whenever depth is unlimited, since both are reachability.
+
+    Per-wave metrics (candidates / deduped / enqueued) are recorded —
+    the lineage the north rule asks to checkpoint.
+    """
+    links = links.select(
+        F.col("src"), F.col("idx").cast("int").alias("idx"), F.col("dst")
+    )
+    frontier = _seeds_df(spark, seeds, dedup=True).localCheckpoint(eager=True)
+    seen = frontier.select("url").localCheckpoint(eager=True)
+    visited_layers = [frontier]
+    metrics: list[dict] = []
+    wave = 0
+    while wave < max_waves:
+        depth = wave
+        if depth + 1 > max_depth:
+            break
+        cand = (
+            frontier.join(links, frontier.url == links.src)
+            .groupBy(links.dst)
+            .agg(F.min(F.struct("rank", "idx", "depth")).alias("m"))
+            .select(
+                F.col("dst").alias("url"),
+                F.concat(F.col("m.rank"), seg(F.col("m.idx"))).alias("rank"),
+                (F.col("m.depth") + 1).alias("depth"),
+            )
+        )
+        fresh = cand.join(seen, "url", "left_anti").localCheckpoint(eager=True)
+        n_cand = cand.count()
+        n_fresh = fresh.count()
+        metrics.append(
+            {"wave": wave, "candidates": n_cand, "deduped": n_cand - n_fresh, "enqueued": n_fresh}
+        )
+        if n_fresh == 0:
+            break
+        seen = seen.unionByName(fresh.select("url")).localCheckpoint(eager=True)
+        frontier = fresh
+        visited_layers.append(frontier)
+        wave += 1
+    visited = visited_layers[0]
+    for extra in visited_layers[1:]:
+        visited = visited.unionByName(extra)
+    return CrawlResult(visited=_with_order(visited), seen=seen, waves=wave + 1, metrics=metrics)
