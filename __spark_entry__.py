@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship: exact xidel DFS crawl (dedup ON) over the sf0.001
+               interleaved-spans corpus, returning (url, rank, depth, ord,
+               title) in crawl order.
+queries()    — named operators from SURVEY.md §2 (crawl core + extraction +
+               scale ops), each (spark, sf_dir) -> DataFrame.
+oracle_sql() — matching DuckDB SQL per query (xidel_spark/oracle.py).
 """
 
 from __future__ import annotations
@@ -16,23 +17,43 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pyspark.sql import functions as F
+
+    from xidel_spark import corpus
+    from xidel_spark.crawl.engine import crawl_exact
+    from xidel_spark.extract.links import extract_kind_text, extract_links
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = corpus.synth_docs(spark, sf_dir)
+    links = extract_links(docs, "//a")
+    seeds = corpus.synth_seeds(spark, sf_dir)
+    res = crawl_exact(spark, links, seeds)
+    titles = extract_kind_text(docs, "//title").where(F.col("idx") == 0)
+    return (
+        res.visited.join(titles, "url")
+        .select("url", "rank", "depth", "ord", F.col("value").alias("title"))
+        .orderBy("ord")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from xidel_spark.queries import CRAWL_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(CRAWL_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from xidel_spark import oracle
+
+    return {
+        "crawl_dfs_order": oracle.CRAWL_DFS_ORDER,
+        "crawl_nodedup_depth2": oracle.CRAWL_NODEDUP_DEPTH2,
+        "crawl_seen_bfs": oracle.CRAWL_SEEN_BFS,
+        "link_extraction": oracle.LINK_EXTRACTION,
+        "url_canonicalize": oracle.URL_CANONICALIZE,
+        "politeness_schedule": oracle.POLITENESS_SCHEDULE,
+        "robots_filter": oracle.ROBOTS_FILTER,
+        "frontier_dedup_request_tuple": oracle.FRONTIER_DEDUP_REQUEST_TUPLE,
+    }

@@ -130,6 +130,47 @@ def synth_seeds(spark: SparkSession, sf_dir: str) -> list[str]:
     return [r["url"] for r in rows]
 
 
+def synth_links_cyclic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-layered (cyclic) link graph: dst(d,k) = (d*7 + k*17 + 7) % n.
+
+    Used for the BFS seen-set query and the bench crawl: unlike the layered
+    graph, already-seen URLs recur in later waves, so the central anti-join
+    actually drops candidates (cross-wave dedup).
+    """
+    docs = base_docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("d"))
+    n = docs.count()
+    d = F.col("d")
+    outdeg = 1 + d % 3
+    linked = docs.select(
+        d.alias("d"), F.explode(F.sequence(F.lit(0), (outdeg - 1).cast("int"))).alias("k")
+    )
+    d, k = F.col("d"), F.col("k")
+    dst_id = (d * MULT_A + k * MULT_B + ADD_C) % n
+    return linked.select(
+        url_of(d).alias("src"), k.cast("int").alias("idx"), url_of(dst_id).alias("dst")
+    )
+
+
+def dirty_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, raw_url) — deterministically 'dirty' URLs for the
+    canonicalization query: uppercase scheme/host, default ports, dot
+    segments, unsorted query params, fragments."""
+    docs = base_docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("d"))
+    d = F.col("d")
+    scheme = F.when(d % 2 == 0, "HTTP").otherwise("http")
+    host = F.format_string("H%02d.Example.COM", (d % HOSTS).cast("long"))
+    port = F.when(d % 3 == 0, ":80").otherwise("")
+    path = F.when(d % 5 == 0, F.format_string("/a/./x/../p/%d", d)).otherwise(
+        F.format_string("/p/%d", d)
+    )
+    query = F.when(d % 4 == 0, "?b=2&a=1").otherwise("")
+    frag = F.when(d % 7 == 0, "#frag").otherwise("")
+    return docs.select(
+        d.alias("doc_id"),
+        F.concat(scheme, F.lit("://"), host, port, path, query, frag).alias("raw_url"),
+    )
+
+
 def synth_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The interleaved text+media documents table (input_hint schema).
 

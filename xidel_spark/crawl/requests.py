@@ -1,0 +1,51 @@
+"""Request-tuple identity — the URL-seen-set key.
+
+The reference's dedup key is the FULL request tuple, not the URL:
+`THTTPRequest.equalTo` (xidelbase.pas:1242-1245) compares url, method,
+post data, header block, multipart. Pinned by tests/tests.sh:558-559:
+the same (url, body) twice is fetched once (post4b), the same url with a
+different method is fetched twice (post4c).
+
+At scale the tuple is hashed (xxhash64) into the seen filter; headers are
+canonicalized (sorted, trimmed) before hashing so equal header sets hash
+equally regardless of arrival order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def canonical_headers(headers: Column) -> Column:
+    """array<string> of 'k: v' → sorted, newline-joined canonical block."""
+    return F.array_join(F.array_sort(headers), "\n")
+
+
+def request_key(
+    url: Column, method: Column, body: Column, headers_canon: Column
+) -> Column:
+    return F.xxhash64(
+        F.coalesce(url, F.lit("")),
+        F.coalesce(method, F.lit("GET")),
+        F.coalesce(body, F.lit("")),
+        F.coalesce(headers_canon, F.lit("")),
+    )
+
+
+def dedup_requests(requests: DataFrame, arrival_col: str = "arrival") -> DataFrame:
+    """Drop duplicate requests, keeping the first by arrival order — the
+    enqueue-time dedup of xidelbase.pas:1484-1491 applied to a request
+    batch. Identity = the full tuple.
+
+    One shuffle on the identity columns; at scale this groupBy is preceded
+    by the Bloom pre-filter so most already-seen tuples never shuffle.
+    """
+    ident = ["url", "method", "body", "headers"]
+    w = Window.partitionBy(*ident).orderBy(arrival_col)
+    return (
+        requests.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
