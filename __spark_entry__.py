@@ -38,16 +38,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from xidel_spark.queries import CRAWL_QUERIES
+    from xidel_spark.queries_ops import OPS_QUERIES
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(CRAWL_QUERIES)
+    out.update(OPS_QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     from xidel_spark import oracle
+    from xidel_spark.oracle_ops import OPS_ORACLES
 
-    return {
+    out = {
         "crawl_dfs_order": oracle.CRAWL_DFS_ORDER,
         "crawl_nodedup_depth2": oracle.CRAWL_NODEDUP_DEPTH2,
         "crawl_seen_bfs": oracle.CRAWL_SEEN_BFS,
@@ -57,3 +60,5 @@ def oracle_sql() -> dict[str, str]:
         "robots_filter": oracle.ROBOTS_FILTER,
         "frontier_dedup_request_tuple": oracle.FRONTIER_DEDUP_REQUEST_TUPLE,
     }
+    out.update(OPS_ORACLES)  # ann_topk_lsh intentionally absent → rows-only
+    return out

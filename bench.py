@@ -1,0 +1,142 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline: frontier throughput (URLs scheduled+deduped/sec) on a cyclic
+link graph scaled up from the SF corpus (documents_count × BENCH_MULT
+nodes, ~2 links/node), crawled to convergence by the production wave loop
+(within-wave first-enqueuer resolution + anti-join dedup) — the north-rule
+metric. Plus the exact-DFS crawl, span link extraction, and the
+canonicalization UDF at SF scale.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), BENCH_MULT (default 40).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+MULT = int(os.environ.get("BENCH_MULT", "40"))
+
+
+def bench_corpus_links(spark, n_nodes: int):
+    """Cyclic web-ish graph over spark.range — generated partition-parallel,
+    no driver materialization. Knuth-scrambled dst gives high-fanout BFS
+    (converges in few waves, like a real crawl frontier); host skew via
+    quadratic host id exercises AQE skew handling."""
+    base = spark.range(n_nodes).select(F.col("id").alias("i"))
+    exploded = base.select(
+        "i", F.explode(F.sequence(F.lit(0), (F.col("i") % 3).cast("int"))).alias("k")
+    )
+    url = lambda c: F.format_string(  # noqa: E731
+        "http://h%03d.example.com/p/%d", ((c * c) % 997).cast("long"), c.cast("long")
+    )
+    return exploded.select(
+        url(F.col("i")).alias("src"),
+        F.col("k").cast("int").alias("idx"),
+        url((F.col("i") * 2654435761 + F.col("k") * 1000003 + 12345) % n_nodes).alias("dst"),
+    )
+
+
+def bench_seeds(spark, n_nodes: int):
+    return (
+        spark.range(0, n_nodes, 35)
+        .select(
+            F.format_string(
+                "http://h%03d.example.com/p/%d",
+                ((F.col("id") * F.col("id")) % 997).cast("long"),
+                F.col("id"),
+            ).alias("url"),
+            (F.col("id") / 35).cast("long").alias("seed_idx"),
+        )
+    )
+
+
+def run(spark) -> dict:
+    from xidel_spark import corpus
+    from xidel_spark.crawl.crawler import FrontierCrawler
+    from xidel_spark.crawl.engine import crawl_exact
+    from xidel_spark.extract.links import extract_links
+    from xidel_spark.urlnorm import canonicalize
+
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    n_nodes = n_docs * MULT
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # q1: headline — wave crawl to convergence on the scaled cyclic graph
+    # (graph synthesis is not crawl work: materialized outside the clock)
+    links = bench_corpus_links(spark, n_nodes).localCheckpoint(eager=True)
+    seeds = bench_seeds(spark, n_nodes)
+    t0 = time.time()
+    run_ = FrontierCrawler(spark, links).run(seeds)
+    n_seen = run_.seen.count()
+    timings["crawl_waves_cyclic"] = time.time() - t0
+    scheduled = sum(m["candidates"] for m in run_.metrics) + n_seen
+    extras["frontier_urls_scheduled"] = scheduled
+    extras["frontier_seen"] = n_seen
+    extras["frontier_waves"] = run_.waves
+    extras["frontier_urls_per_sec"] = round(scheduled / timings["crawl_waves_cyclic"], 1)
+
+    # q2: exact DFS rank fixpoint on the layered SF corpus
+    t0 = time.time()
+    docs = corpus.synth_docs(spark, SF_DIR)
+    l2 = extract_links(docs, "//a")
+    res = crawl_exact(spark, l2, corpus.synth_seeds(spark, SF_DIR))
+    res.visited.count()
+    timings["crawl_dfs_exact"] = time.time() - t0
+
+    # q3: span link extraction over the interleaved docs (replicated)
+    t0 = time.time()
+    reps = spark.range(MULT)
+    big_docs = docs.crossJoin(reps)
+    extract_links(big_docs, "//a").count()
+    timings["link_extraction"] = time.time() - t0
+
+    # q4: canonicalization UDF throughput (replicated dirty urls)
+    t0 = time.time()
+    dirty = corpus.dirty_urls(spark, SF_DIR).crossJoin(reps)
+    dirty.select(canonicalize(F.col("raw_url")).alias("c")).where(
+        F.col("c").isNotNull()
+    ).count()
+    timings["url_canonicalize"] = time.time() - t0
+
+    return timings | {"extras": extras}
+
+
+def main() -> None:
+    from xidel_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    result = run(spark)
+    total = time.time() - t0
+    extras = result.pop("extras")
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    line = {
+        "metric": "crawl_pipeline_total",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in result.items()},
+        "sf": float(sf),
+        "cpus": CPUS,
+        "bench_nodes": extras["frontier_seen"],
+        "frontier_urls_per_sec": extras["frontier_urls_per_sec"],
+        "frontier_waves": extras["frontier_waves"],
+    }
+    print(json.dumps(line))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

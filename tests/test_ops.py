@@ -1,0 +1,87 @@
+"""Training-data ops: semantic sanity beyond the DuckDB value gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xidel_spark.ops import dedup_text as dt
+from xidel_spark.ops import similarity as sim
+from xidel_spark.ops import textstats as ts
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text", "lang")
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_finds_planted_duplicate(spark, docs):
+    planted = docs.limit(1).select(F.lit(10_000).alias("doc_id"), "text", "lang")
+    clusters = dt.exact_dedup(docs.unionByName(planted))
+    dup = clusters.where(F.col("n_dupes") > 1).collect()
+    assert len(dup) >= 1
+    assert any(r["n_dupes"] == 2 for r in dup)
+
+
+def test_minhash_near_dup_scores_high(spark, docs):
+    # a doc and its lightly-perturbed copy must share LSH buckets and have
+    # high jaccard; two unrelated docs must not score high
+    base = docs.where("doc_id = 7").select("doc_id", "text")
+    near = base.select(
+        F.lit(7777).alias("doc_id"), F.concat(F.col("text"), F.lit(" tail tweak")).alias("text")
+    )
+    pool = docs.select("doc_id", "text").unionByName(near)
+    sigs = dt.minhash_signature(pool, k=8)
+    pairs = dt.lsh_candidate_pairs(dt.lsh_buckets(sigs, bands=4))
+    jac = dt.ngram_jaccard_pairs(pool, pairs)
+    hit = jac.where((F.col("id_a") == 7) & (F.col("id_b") == 7777)).collect()
+    assert hit and hit[0]["jaccard"] > 0.8
+
+
+def test_simhash_near_dup_low_hamming(spark, docs):
+    base = docs.where("doc_id = 7").select("doc_id", "text")
+    near = base.select(
+        F.lit(7777).alias("doc_id"), F.concat(F.col("text"), F.lit(" zz")).alias("text")
+    )
+    sh = dt.simhash16(base.unionByName(near)).collect()
+    a, b = (r["simhash"] for r in sh)
+    hamming = bin(a ^ b).count("1")
+    assert hamming <= 3
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, emb):
+    queries = emb.where(F.col("vec_id") < 8)
+    exact = sim.cosine_topk(queries, emb, k=5).collect()
+    approx = sim.ann_topk_lsh(queries, emb, k=5, bits=4, tables=8).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # OR-amplified SRP (8 tables × 4 bits): near neighbors collide in at
+    # least one table with high probability even for weak (s≈0.3) pairs
+    assert recall > 0.5, recall
+
+
+def test_lang_id_beats_chance(spark, docs):
+    pred = ts.lang_id(docs)
+    joined = docs.join(pred, "doc_id").where(F.col("lang").isin("en", "de", "fr", "es"))
+    total = joined.count()
+    if total:
+        acc = joined.where(F.col("lang") == F.col("lang_pred")).count() / total
+        assert acc > 0.25  # synthetic corpus text is not strongly language-marked
+
+
+def test_quality_and_tokens_ranges(spark, docs):
+    q = ts.quality_features(docs)
+    bad = q.where(
+        (F.col("quality") < 0) | (F.col("quality") > 1) | (F.col("n_tokens") <= 0)
+    ).count()
+    assert bad == 0

@@ -1,0 +1,90 @@
+"""Bloom filter, checkpoint/resume, and crawler integration tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xidel_spark.crawl.bloom import build_bloom, split_candidates
+from xidel_spark.crawl.checkpoint import CrawlStateStore
+from xidel_spark.crawl.crawler import FrontierCrawler
+from xidel_spark.crawl.engine import crawl_waves
+from xidel_spark.corpus import fixture_graph
+from xidel_spark.extract.links import extract_links
+
+
+@pytest.fixture(scope="module")
+def cyclic_links(spark):
+    # small cyclic graph: dst = (3*i + k + 1) % 40
+    rows = [
+        (f"http://h{i % 5}.test/p/{i}", k, f"http://h{(3 * i + k + 1) % 40 % 5}.test/p/{(3 * i + k + 1) % 40}")
+        for i in range(40)
+        for k in range(2)
+    ]
+    return spark.createDataFrame(rows, "src string, idx int, dst string").cache()
+
+
+SEEDS = ["http://h0.test/p/0", "http://h1.test/p/1"]
+
+
+def test_bloom_no_false_negatives(spark):
+    seen = spark.createDataFrame([(f"u{i}",) for i in range(500)], "url string")
+    bloom = build_bloom(seen, n_shards=4, capacity_per_shard=1000)
+    cands = spark.createDataFrame(
+        [(f"u{i}",) for i in range(400, 900)], "url string"
+    )  # 100 seen + 400 new
+    definitely_new, maybe = split_candidates(cands, bloom)
+    new_urls = {r["url"] for r in definitely_new.collect()}
+    # no seen url may be classified definitely-new
+    assert not any(int(u[1:]) < 500 for u in new_urls)
+    # the pre-filter must actually pass most genuinely-new urls
+    assert len(new_urls) > 300
+    # split is a partition of the candidates
+    assert definitely_new.count() + maybe.count() == 500
+
+
+def test_crawler_matches_engine_seen(spark, cyclic_links):
+    run = FrontierCrawler(spark, cyclic_links).run(SEEDS)
+    ref = crawl_waves(spark, cyclic_links, SEEDS)
+    assert {r["url"] for r in run.seen.collect()} == {r["url"] for r in ref.seen.collect()}
+
+
+def test_crawler_bloom_path_equal(spark, cyclic_links):
+    plain = FrontierCrawler(spark, cyclic_links).run(SEEDS)
+    bloomed = FrontierCrawler(spark, cyclic_links, use_bloom=True, bloom_shards=4).run(SEEDS)
+    assert {r["url"] for r in plain.seen.collect()} == {r["url"] for r in bloomed.seen.collect()}
+    assert [m["enqueued"] for m in plain.metrics] == [m["enqueued"] for m in bloomed.metrics]
+
+
+def test_checkpoint_resume_exact(spark, cyclic_links, tmp_path):
+    full = FrontierCrawler(spark, cyclic_links).run(SEEDS)
+
+    store = CrawlStateStore(str(tmp_path / "ckpt"))
+    # run only 3 waves, "crash"
+    partial = FrontierCrawler(spark, cyclic_links, store=store).run(SEEDS, max_waves=3)
+    assert partial.waves == 3
+    assert store.latest() is not None
+
+    # resume in a "new" crawler over the same store
+    resumed = FrontierCrawler(spark, cyclic_links, store=store).run(SEEDS)
+    assert {r["url"] for r in resumed.seen.collect()} == {
+        r["url"] for r in full.seen.collect()
+    }
+    # lineage: manifests cover every wave with metrics
+    manifests = store.manifests()
+    assert [m["wave"] for m in manifests] == list(range(len(manifests)))
+    assert all("lineage" in m and m["lineage"]["frontier_files"] for m in manifests)
+
+
+def test_robots_blocks_host(spark, cyclic_links):
+    hosts = [f"h{i}.test" for i in range(5)]
+    rules = spark.createDataFrame(
+        [(h, "/", True) for h in hosts] + [("h1.test", "/p/", False)],
+        "host string, prefix string, allow boolean",
+    )
+    unfiltered = FrontierCrawler(spark, cyclic_links).run(SEEDS)
+    filtered = FrontierCrawler(spark, cyclic_links, robots_rules=rules).run(SEEDS)
+    seen_unf = {r["url"] for r in unfiltered.seen.collect()}
+    seen_flt = {r["url"] for r in filtered.seen.collect()}
+    assert any("h1.test" in u for u in seen_unf)          # would have crawled h1
+    assert not any("h1.test" in u for u in seen_flt)      # robots blocked it
+    assert any(m["robots_blocked"] > 0 for m in filtered.metrics)
+    assert seen_flt <= seen_unf

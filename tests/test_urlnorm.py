@@ -1,0 +1,79 @@
+"""URL canonicalization / resolution / request-identity tests.
+
+resolve cases mirror /root/reference/tests/tests.sh:625-626 (fn:resolve-uri)
+and readme.txt:178-182; request identity mirrors tests.sh:557-559
+(post4b/post4c: same url+body deduped, same url different method kept).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xidel_spark.crawl.requests import canonical_headers, dedup_requests, request_key
+from xidel_spark.urlnorm import canonicalize_one, resolve_one
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("HTTP://Example.COM:80/a/b", "http://example.com/a/b"),
+        ("https://example.com:443/", "https://example.com/"),
+        ("https://example.com:8443/", "https://example.com:8443/"),
+        ("http://example.com/a/./b/../c?z=1&a=2#frag", "http://example.com/a/c?a=2&z=1"),
+        ("http://example.com", "http://example.com/"),
+        ("http://example.com/a/b/..", "http://example.com/a/"),
+        ("http://example.com/../../x", "http://example.com/x"),
+        ("http://example.com/p?", "http://example.com/p"),
+    ],
+)
+def test_canonicalize(raw, expected):
+    assert canonicalize_one(raw) == expected
+
+
+@pytest.mark.parametrize(
+    "ref,base,expected",
+    [
+        ("b.xml", "http://e.com/dir/a.xml", "http://e.com/dir/b.xml"),
+        ("/b.xml", "http://e.com/dir/a.xml", "http://e.com/b.xml"),
+        ("../up.xml", "http://e.com/d1/d2/a.xml", "http://e.com/d1/up.xml"),
+        ("//other.com/x", "https://e.com/a", "https://other.com/x"),
+        ("http://abs.com/x", "http://e.com/a", "http://abs.com/x"),
+        ("?q=1", "http://e.com/p/a?old=2", "http://e.com/p/a?q=1"),
+    ],
+)
+def test_resolve(ref, base, expected):
+    assert resolve_one(ref, base) == expected
+
+
+def test_request_identity_post4(spark):
+    # tests.sh:557-559 — same (url, body) twice → one; same url, method
+    # GET vs PUT → two
+    rows = [
+        ("http://x/api", "POST", "a=1", [], 1),
+        ("http://x/api", "POST", "a=1", [], 2),   # dup of row 1
+        ("http://x/api", "GET", "", [], 3),
+        ("http://x/api", "PUT", "", [], 4),       # different method: kept
+        ("http://x/api", "GET", "", ["X-H: 1"], 5),  # different headers: kept
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, method string, hbody string, hdrs array<string>, arrival int"
+    ).select(
+        "url",
+        "method",
+        F.col("hbody").alias("body"),
+        canonical_headers(F.col("hdrs")).alias("headers"),
+        "arrival",
+    )
+    kept = dedup_requests(df).collect()
+    assert len(kept) == 4
+    arrivals = sorted(r["arrival"] for r in kept)
+    assert arrivals == [1, 3, 4, 5]
+
+
+def test_header_order_insensitive_hash(spark):
+    df = spark.createDataFrame(
+        [(["b: 2", "a: 1"],), (["a: 1", "b: 2"],)], "hdrs array<string>"
+    ).select(
+        request_key(F.lit("u"), F.lit("GET"), F.lit(""), canonical_headers(F.col("hdrs"))).alias("k")
+    )
+    ks = [r["k"] for r in df.collect()]
+    assert ks[0] == ks[1]

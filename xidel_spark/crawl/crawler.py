@@ -1,0 +1,196 @@
+"""FrontierCrawler — the production wave loop with all scale components.
+
+One object wires together what the reference does in its recursive loop
+(xidelbase.pas:1996-2137) plus the north rule's scale transplants:
+
+frontier wave → robots filter (broadcast rule join) → link expansion
+(frontier ⋈ links) → within-wave first-enqueuer resolution → Bloom
+pre-filter → exact anti-join vs seen → politeness-scheduled new frontier →
+checkpoint (frontier + seen + bloom + lineage metrics) → next wave.
+
+Partitioning: the frontier is hash-partitioned by host (politeness bucket
+== shuffle partition), candidates shuffle once on url for the dedup
+aggregate, and the anti-join's seen side is partitioned the same way so
+AQE can plan it shuffle-free or skew-split it.
+
+Resume: constructing a crawler over a store with committed waves continues
+from the latest snapshot; a crawl killed mid-wave re-runs only that wave
+(snapshot isolation via atomic manifests).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..urlnorm import host_of
+from .bloom import build_bloom, split_candidates
+from .bucketed import BucketedTable
+from .checkpoint import CrawlStateStore
+from .engine import UNLIMITED, _seeds_df
+from .order import seg
+from .robots import apply_robots
+
+
+@dataclass
+class CrawlRun:
+    seen: DataFrame
+    frontier: DataFrame
+    waves: int
+    metrics: list[dict] = field(default_factory=list)
+
+
+class FrontierCrawler:
+    def __init__(
+        self,
+        spark: SparkSession,
+        links: DataFrame,
+        *,
+        store: CrawlStateStore | None = None,
+        robots_rules: DataFrame | None = None,
+        wait_ms: int = 0,
+        max_depth: int = UNLIMITED,
+        use_bloom: bool = False,
+        bloom_shards: int = 16,
+        partition_by_host: bool = True,
+        bucketed: bool = False,
+        n_buckets: int = 32,
+        state_prefix: str = "xs",
+    ):
+        self.partition_by_host = partition_by_host
+        self.bucketed = bucketed
+        self.n_buckets = n_buckets
+        self.state_prefix = state_prefix
+        self.spark = spark
+        self.links = links.select(
+            F.col("src"), F.col("idx").cast("int").alias("idx"), F.col("dst")
+        )
+        self.store = store
+        self.robots_rules = robots_rules
+        self.wait_ms = wait_ms
+        self.max_depth = max_depth
+        self.use_bloom = use_bloom
+        self.bloom_shards = bloom_shards
+
+    def _filter_robots(self, cand: DataFrame) -> tuple[DataFrame, int]:
+        if self.robots_rules is None:
+            return cand, 0
+        cand = cand.localCheckpoint(eager=True)
+        flags = apply_robots(cand.select("url"), self.robots_rules)
+        kept = cand.join(
+            flags.where("allowed").select("url"), "url", "inner"
+        ).localCheckpoint(eager=True)
+        blocked = cand.count() - kept.count()
+        return kept, blocked
+
+    def run(self, seeds: list[str] | DataFrame, *, max_waves: int = 10_000) -> CrawlRun:
+        spark = self.spark
+        start_wave = 0
+        metrics: list[dict] = []
+        seen_table = None
+        if self.bucketed:
+            # shuffle-stable state: links bucketed by src (expansion join
+            # shuffles only the frontier), seen bucketed by url (dedup join
+            # shuffles only the candidates). Iceberg bucket(N, col) on a
+            # real cluster.
+            links_table = BucketedTable(
+                spark, f"{self.state_prefix}_links", "src", self.n_buckets
+            )
+            links_table.overwrite(self.links)
+            self.links = links_table.df()
+            seen_table = BucketedTable(
+                spark, f"{self.state_prefix}_seen", "url", self.n_buckets
+            )
+        snap = self.store.load(spark) if self.store else None
+        if snap is not None:
+            frontier = snap.frontier.localCheckpoint(eager=True)
+            seen = snap.seen  # union of committed increments (never rewritten)
+            start_wave = snap.wave + 1
+            metrics = [m["metrics"] for m in self.store.manifests()]
+            if seen_table is not None:
+                seen_table.overwrite(seen)
+        else:
+            frontier = _seeds_df(spark, seeds, dedup=True)
+            frontier, blocked = self._filter_robots(frontier)
+            frontier = frontier.withColumn("host", host_of(F.col("url"))).repartition(
+                F.col("host")
+            ).localCheckpoint(eager=True)
+            seen = frontier.select("url")
+            if seen_table is not None:
+                seen_table.overwrite(frontier.select("url"))
+            if self.store:
+                m = {"wave": 0, "candidates": 0, "deduped": 0, "robots_blocked": blocked,
+                     "enqueued": frontier.count()}
+                metrics.append(m)
+                self.store.commit(0, frontier, m)
+            start_wave = 1
+
+        wave = start_wave
+        while wave < max_waves and wave <= self.max_depth:
+            cand = (
+                frontier.join(self.links, frontier.url == self.links.src)
+                .groupBy(self.links.dst)
+                .agg(F.min(F.struct("rank", "idx", "depth")).alias("m"))
+                .select(
+                    F.col("dst").alias("url"),
+                    F.concat(F.col("m.rank"), seg(F.col("m.idx"))).alias("rank"),
+                    (F.col("m.depth") + 1).alias("depth"),
+                )
+            )
+            cand, robots_blocked = self._filter_robots(cand)
+            if self.use_bloom:
+                # Bloom pre-filter: definitely-new candidates skip the
+                # exact join; only maybe-seen get the flag lookup
+                bloom = build_bloom(
+                    seen, n_shards=self.bloom_shards,
+                    capacity_per_shard=max(1024, 4096),
+                )
+                definitely_new, maybe = split_candidates(cand, bloom)
+                joined = definitely_new.withColumn(
+                    "__seen", F.lit(None).cast("boolean")
+                ).unionByName(
+                    maybe.join(
+                        seen.withColumn("__seen", F.lit(True)), "url", "left"
+                    )
+                )
+            else:
+                seen_side = seen_table.df() if seen_table is not None else seen
+                joined = cand.join(
+                    seen_side.withColumn("__seen", F.lit(True)), "url", "left"
+                )
+            # ONE heavy materialization per wave: candidate count, dedup
+            # count and the fresh frontier all read this checkpoint
+            joined = joined.localCheckpoint(eager=True)
+            n_cand = joined.count()
+            fresh = joined.where(F.col("__seen").isNull()).drop("__seen")
+            n_fresh = joined.where(F.col("__seen").isNull()).count()
+            m = {
+                "wave": wave,
+                "candidates": n_cand,
+                "deduped": n_cand - n_fresh,
+                "robots_blocked": robots_blocked,
+                "enqueued": n_fresh,
+            }
+            metrics.append(m)
+            if n_fresh == 0:
+                joined.unpersist()
+                break
+            frontier = fresh.withColumn("host", host_of(F.col("url")))
+            if self.partition_by_host:
+                frontier = frontier.repartition(F.col("host"))
+            # slim dedicated checkpoint: what stays alive across waves is
+            # only (url, rank, depth, host) per increment — the seen union
+            # reads these; the wide per-wave join output is released now
+            frontier = frontier.localCheckpoint(eager=True)
+            joined.unpersist()
+            # append-only seen: new increment unioned/appended, prior
+            # increments are already stored — nothing is rewritten
+            seen = seen.unionByName(frontier.select("url"))
+            if seen_table is not None:
+                seen_table.append(frontier.select("url"))
+            if self.store:
+                self.store.commit(wave, frontier, m)
+            wave += 1
+        return CrawlRun(seen=seen, frontier=frontier, waves=wave, metrics=metrics)

@@ -124,6 +124,8 @@ def crawl_exact(
             .localCheckpoint(eager=True)
         )
         changed = new_best.join(best, ["url", "rank"], "left_anti").limit(1).count()
+        if best is not seed_urls:
+            best.unpersist()  # superseded relaxation state
         best = new_best
         if changed == 0:
             break
@@ -234,7 +236,11 @@ def crawl_waves(
         F.col("src"), F.col("idx").cast("int").alias("idx"), F.col("dst")
     )
     frontier = _seeds_df(spark, seeds, dedup=True).localCheckpoint(eager=True)
-    seen = frontier.select("url").localCheckpoint(eager=True)
+    # seen is an append-only UNION of per-wave frontier increments: each
+    # increment is checkpointed exactly once, never rewritten (the Iceberg
+    # append pattern — at 10^10 scale the seen table must not be copied
+    # per wave).
+    seen = frontier.select("url")
     visited_layers = [frontier]
     metrics: list[dict] = []
     wave = 0
@@ -252,16 +258,18 @@ def crawl_waves(
                 (F.col("m.depth") + 1).alias("depth"),
             )
         )
+        cand = cand.localCheckpoint(eager=True)  # one materialization: count + anti-join
         fresh = cand.join(seen, "url", "left_anti").localCheckpoint(eager=True)
         n_cand = cand.count()
         n_fresh = fresh.count()
+        cand.unpersist()  # fresh is its own checkpoint; wide cand is done
         metrics.append(
             {"wave": wave, "candidates": n_cand, "deduped": n_cand - n_fresh, "enqueued": n_fresh}
         )
         if n_fresh == 0:
             break
-        seen = seen.unionByName(fresh.select("url")).localCheckpoint(eager=True)
         frontier = fresh
+        seen = seen.unionByName(frontier.select("url"))
         visited_layers.append(frontier)
         wave += 1
     visited = visited_layers[0]
