@@ -38,11 +38,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from xidel_spark.queries import CRAWL_QUERIES
+    from xidel_spark.queries_fn import FN_QUERIES
     from xidel_spark.queries_ops import OPS_QUERIES
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(CRAWL_QUERIES)
     out.update(OPS_QUERIES)
+    out.update(FN_QUERIES)
     return out
 
 
@@ -61,4 +63,7 @@ def oracle_sql() -> dict[str, str]:
         "frontier_dedup_request_tuple": oracle.FRONTIER_DEDUP_REQUEST_TUPLE,
     }
     out.update(OPS_ORACLES)  # ann_topk_lsh intentionally absent → rows-only
+    from xidel_spark.oracle_fn import FN_ORACLES
+
+    out.update(FN_ORACLES)
     return out

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-MULT = int(os.environ.get("BENCH_MULT", "40"))
+MULT = int(os.environ.get("BENCH_MULT", "200"))
 
 
 def bench_corpus_links(spark, n_nodes: int):
