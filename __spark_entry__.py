@@ -42,9 +42,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from xidel_spark.queries_ops import OPS_QUERIES
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    from xidel_spark.queries_ext import EXT_QUERIES
+
     out.update(CRAWL_QUERIES)
     out.update(OPS_QUERIES)
     out.update(FN_QUERIES)
+    out.update(EXT_QUERIES)
     return out
 
 
@@ -66,4 +69,7 @@ def oracle_sql() -> dict[str, str]:
     from xidel_spark.oracle_fn import FN_ORACLES
 
     out.update(FN_ORACLES)
+    from xidel_spark.oracle_ext import EXT_ORACLES
+
+    out.update(EXT_ORACLES)
     return out

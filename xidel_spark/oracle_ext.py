@@ -1,0 +1,124 @@
+"""DuckDB oracles for queries_ext.py."""
+
+from __future__ import annotations
+
+from .oracle import IDS, LINKS_LAYERED, PARAMS, SEEDS, url_expr
+
+RESOLVE_URI = """
+WITH ids AS (SELECT doc_id::BIGINT AS d FROM documents)
+SELECT d AS doc_id,
+       printf('http://h%02d.example.com/dir%d/page.html', d % 13, d % 4) AS base,
+       CASE WHEN d % 5 = 0 THEN printf('other%d.html', d)
+            WHEN d % 5 = 1 THEN '../up.html'
+            WHEN d % 5 = 2 THEN printf('/rooted/%d', d)
+            WHEN d % 5 = 3 THEN '//mirror.example.org/pp'
+            ELSE '?q=1' END AS ref,
+       CASE WHEN d % 5 = 0 THEN printf('http://h%02d.example.com/dir%d/other%d.html', d % 13, d % 4, d)
+            WHEN d % 5 = 1 THEN printf('http://h%02d.example.com/up.html', d % 13)
+            WHEN d % 5 = 2 THEN printf('http://h%02d.example.com/rooted/%d', d % 13, d)
+            WHEN d % 5 = 3 THEN 'http://mirror.example.org/pp'
+            ELSE printf('http://h%02d.example.com/dir%d/page.html?q=1', d % 13, d % 4) END AS resolved
+FROM ids
+"""
+
+ERROR_POLICY = """
+WITH ids AS (SELECT doc_id::BIGINT AS d FROM documents),
+s AS (
+  SELECT d, CAST(CASE WHEN d % 7 = 2 THEN 301
+                      WHEN d % 7 = 3 THEN 404
+                      WHEN d % 7 = 4 THEN 503
+                      WHEN d % 7 = 6 THEN 429
+                      ELSE 200 END AS INT) AS status
+  FROM ids
+)
+SELECT printf('http://h%02d.example.com/p/%d', d % 13, d) AS url,
+       status,
+       CASE WHEN status = 404 THEN 'skip'
+            WHEN status >= 300 AND status < 400 THEN 'ignore'
+            WHEN status >= 400 AND status < 500 THEN 'retry'
+            WHEN status >= 500 AND status < 600 THEN 'retry'
+            WHEN status >= 200 AND status < 300 THEN 'accept'
+            ELSE 'skip' END AS action
+FROM s
+"""
+
+FRONTIER_PRIORITY_ORDER = f"""
+WITH RECURSIVE {PARAMS}, {IDS}, {LINKS_LAYERED}, {SEEDS},
+walk(id, rank) AS (
+  SELECT id, printf('%08x', sidx) FROM seeds
+  UNION ALL
+  SELECT l.dst, w.rank || printf('%08x', l.idx)
+  FROM walk w JOIN links l ON l.src = w.id
+),
+best AS (SELECT id, min(rank) AS rank FROM walk GROUP BY id)
+SELECT {url_expr()} AS url, rank,
+       CAST((id % 13) % 3 AS INT) AS priority,
+       CAST(row_number() OVER (ORDER BY (id % 13) % 3, rank) AS INT) AS fetch_seq
+FROM best
+"""
+
+_LOG_CTE = """log AS (
+  SELECT (user_id % 20)::BIGINT AS doc_id,
+         event_type AS var_name,
+         event_id::BIGINT AS seq_index,
+         CASE WHEN event_id % 3 = 0 THEN CAST(event_id % 100 AS VARCHAR)
+              ELSE 'v' || CAST(event_id % 10 AS VARCHAR) END AS value
+  FROM events
+)"""
+
+CHANGELOG_CONDENSE = f"""
+WITH {_LOG_CTE}
+SELECT doc_id, var_name,
+       string_agg(value, ',' ORDER BY seq_index) AS values_joined,
+       count(*)::BIGINT AS n_assignments,
+       count(*) > 1 AS is_multi
+FROM log GROUP BY doc_id, var_name
+"""
+
+CHANGELOG_JSON = f"""
+WITH {_LOG_CTE},
+c AS (
+  SELECT doc_id, var_name,
+         list(value ORDER BY seq_index) AS vals,
+         min(seq_index) AS first_seq,
+         count(*) AS n
+  FROM log GROUP BY doc_id, var_name
+),
+entries AS (
+  SELECT doc_id, first_seq,
+         '"' || var_name || '": ' ||
+         CASE WHEN n > 1
+              THEN '[' || array_to_string(list_transform(vals,
+                     v -> CASE WHEN regexp_matches(v, '^-?\\d+(\\.\\d+)?$') THEN v
+                               ELSE '"' || replace(v, '"', '\\"') || '"' END), ', ') || ']'
+              ELSE (CASE WHEN regexp_matches(vals[1], '^-?\\d+(\\.\\d+)?$') THEN vals[1]
+                         ELSE '"' || replace(vals[1], '"', '\\"') || '"' END)
+         END AS entry
+  FROM c
+)
+SELECT doc_id,
+       '{{' || string_agg(entry, ', ' ORDER BY first_seq) || '}}' AS json
+FROM entries GROUP BY doc_id
+"""
+
+
+MEDIA_FEATURES = """
+WITH m AS (SELECT doc_id::BIGINT AS doc_id, md5(text) AS h FROM documents)
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+            ELSE 'audio/wav' END AS mime,
+       CAST(16 AS INT) AS blob_len,
+       CAST(16 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS INT) AS first_byte,
+       CAST((16 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) + (16 * (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) + (16 * (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)) + (16 * (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)) + (16 * (strpos('0123456789abcdef', substr(h, 9, 1)) - 1) + (strpos('0123456789abcdef', substr(h, 10, 1)) - 1)) + (16 * (strpos('0123456789abcdef', substr(h, 11, 1)) - 1) + (strpos('0123456789abcdef', substr(h, 12, 1)) - 1)) + (16 * (strpos('0123456789abcdef', substr(h, 13, 1)) - 1) + (strpos('0123456789abcdef', substr(h, 14, 1)) - 1)) + (16 * (strpos('0123456789abcdef', substr(h, 15, 1)) - 1) + (strpos('0123456789abcdef', substr(h, 16, 1)) - 1)) + (16 * (strpos('0123456789abcdef', substr(h, 17, 1)) - 1) + (strpos('0123456789abcdef', substr(h, 18, 1)) - 1)) + (16 * (strpos('0123456789abcdef', substr(h, 19, 1)) - 1) + (strpos('0123456789abcdef', substr(h, 20, 1)) - 1)) + (16 * (strpos('0123456789abcdef', substr(h, 21, 1)) - 1) + (strpos('0123456789abcdef', substr(h, 22, 1)) - 1)) + (16 * (strpos('0123456789abcdef', substr(h, 23, 1)) - 1) + (strpos('0123456789abcdef', substr(h, 24, 1)) - 1)) + (16 * (strpos('0123456789abcdef', substr(h, 25, 1)) - 1) + (strpos('0123456789abcdef', substr(h, 26, 1)) - 1)) + (16 * (strpos('0123456789abcdef', substr(h, 27, 1)) - 1) + (strpos('0123456789abcdef', substr(h, 28, 1)) - 1)) + (16 * (strpos('0123456789abcdef', substr(h, 29, 1)) - 1) + (strpos('0123456789abcdef', substr(h, 30, 1)) - 1)) + (16 * (strpos('0123456789abcdef', substr(h, 31, 1)) - 1) + (strpos('0123456789abcdef', substr(h, 32, 1)) - 1)) AS INT) AS byte_sum
+FROM m
+"""
+
+EXT_ORACLES = {
+    "resolve_uri": RESOLVE_URI,
+    "error_policy": ERROR_POLICY,
+    "frontier_priority_order": FRONTIER_PRIORITY_ORDER,
+    "changelog_condense": CHANGELOG_CONDENSE,
+    "changelog_json": CHANGELOG_JSON,
+    "media_features": MEDIA_FEATURES,
+}

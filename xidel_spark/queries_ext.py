@@ -1,0 +1,122 @@
+"""Extended driver-contract queries: URI resolution, error policy,
+priority frontier order, variable change-log condensing, output formats."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import corpus
+from .crawl.engine import crawl_exact
+from .crawl.errors import action_for, parse_policy
+from .extract.changelog import condense, condensed_json
+from .extract.links import extract_links
+from .urlnorm import resolve_url
+
+
+def q_resolve_uri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fn:resolve-uri / strResolveURI parity (tests/tests.sh:625-626,
+    readme.txt:178-182): five relative-reference shapes vs closed form."""
+    docs = corpus.base_docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("d"))
+    d = F.col("d")
+    base = F.format_string("http://h%02d.example.com/dir%d/page.html", (d % 13).cast("long"), (d % 4).cast("long"))
+    ref = (
+        F.when(d % 5 == 0, F.format_string("other%d.html", d))
+        .when(d % 5 == 1, F.lit("../up.html"))
+        .when(d % 5 == 2, F.format_string("/rooted/%d", d))
+        .when(d % 5 == 3, F.lit("//mirror.example.org/pp"))
+        .otherwise(F.lit("?q=1"))
+    )
+    return docs.select(
+        d.alias("doc_id"),
+        base.alias("base"),
+        ref.alias("ref"),
+        resolve_url(ref, base).alias("resolved"),
+    )
+
+
+def q_error_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--error-handling '3xx=ignore,404=skip,4xx=retry,5xx=retry' over
+    synthetic statuses; exact code beats class (xidelbase.pas:2241-2249)."""
+    docs = corpus.base_docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("d"))
+    d = F.col("d")
+    status = (
+        F.when(d % 7 == 2, 301)
+        .when(d % 7 == 3, 404)
+        .when(d % 7 == 4, 503)
+        .when(d % 7 == 6, 429)
+        .otherwise(200)
+    ).cast("int")
+    policy = parse_policy("3xx=ignore,404=skip,4xx=retry,5xx=retry")
+    return docs.select(
+        corpus.url_of(d).alias("url"),
+        status.alias("status"),
+        action_for(status, policy).alias("action"),
+    )
+
+
+def q_frontier_priority_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """host-bucketed priority queue: fetch order = (priority, DFS rank) —
+    the sort-within-partitions Delta of the north rule, checked globally."""
+    docs = corpus.synth_docs(spark, sf_dir)
+    links = extract_links(docs, "//a")
+    res = crawl_exact(spark, links, corpus.synth_seeds(spark, sf_dir))
+    host_id = F.regexp_extract("url", r"http://h(\d+)\.", 1).cast("int")
+    prio = (host_id % 3).alias("priority")
+    w = Window.orderBy("priority", "rank")
+    return res.visited.select("url", "rank", prio).withColumn(
+        "fetch_seq", F.row_number().over(w).cast("int")
+    )
+
+
+def _synth_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic variable change log derived from events: doc = user
+    bucket, var = event_type, ordered by event_id."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        (F.col("user_id") % 20).cast("long").alias("doc_id"),
+        F.col("event_type").alias("var_name"),
+        F.col("event_id").cast("long").alias("seq_index"),
+        F.when(F.col("event_id") % 3 == 0, (F.col("event_id") % 100).cast("string"))
+        .otherwise(F.concat(F.lit("v"), (F.col("event_id") % 10).cast("string")))
+        .alias("value"),
+    )
+
+
+def q_changelog_condense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """condensed variable log: per (doc, var) the ordered assignment values
+    — the json-wrapped collapse of readme.txt:500-502."""
+    log = _synth_log(spark, sf_dir)
+    c = condense(log)
+    return c.select(
+        "doc_id", "var_name", F.array_join("values", ",").alias("values_joined"),
+        F.col("n_assignments"), "is_multi",
+    )
+
+
+def q_changelog_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the full json-wrapped object per doc: {"a":[1,3],"b":2,...}."""
+    return condensed_json(_synth_log(spark, sf_dir))
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal binary plumbing: blob synthesis + Arrow mapInPandas
+    feature extraction (decode stubbed; byte-level features real)."""
+    from .ops.media import media_features, synth_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    feats = media_features(synth_media(docs))
+    return feats.select("doc_id", "mime", "blob_len", "first_byte", "byte_sum")
+
+
+EXT_QUERIES = {
+    "resolve_uri": q_resolve_uri,
+    "error_policy": q_error_policy,
+    "frontier_priority_order": q_frontier_priority_order,
+    "changelog_condense": q_changelog_condense,
+    "changelog_json": q_changelog_json,
+    "media_features": q_media_features,
+}
