@@ -1,0 +1,76 @@
+"""Physical-plan assertions — the 100-TB shape checks.
+
+Correctness tests prove the answers; these prove the PLANS: filters reach
+the parquet scan, scans prune columns, small dims broadcast, aggregations
+have map-side partials, and UDF stages sit on top of pruned scans. A plan
+regression here is a scale bug even when results stay right.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark):
+    from xidel_spark.queries_fn import q_agg_pricing_summary
+
+    plan = plan_of(q_agg_pricing_summary(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # map-side combine: two HashAggregate nodes around the exchange
+    assert plan.count("HashAggregate") >= 2
+    # column pruning: the 11-column lineitem scan reads only what's used
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_star_join_broadcasts_dims(spark):
+    from xidel_spark.queries_fn import q_join_broadcast_dim
+
+    plan = plan_of(q_join_broadcast_dim(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must never shuffle the fact side
+
+
+def test_link_extraction_prunes_columns(spark):
+    from xidel_spark.queries import q_link_extraction
+
+    plan = plan_of(q_link_extraction(spark, SF))
+    read_schema = " ".join(l for l in plan.splitlines() if "ReadSchema" in l)
+    # spans are synthesized from doc_id + text; lang/source/n_chars must not be read
+    assert "lang" not in read_schema and "n_chars" not in read_schema
+
+
+def test_exact_dedup_single_shuffle(spark):
+    from xidel_spark.queries_ops import q_dedup_exact
+
+    plan = plan_of(q_dedup_exact(spark, SF))
+    # one shuffle on the content hash ("formatted" lists each node twice:
+    # tree line "+- Exchange (n)" + detail header)
+    assert plan.count("+- Exchange") == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_robots_rules_broadcast(spark):
+    from xidel_spark.queries import q_robots_filter
+
+    plan = plan_of(q_robots_filter(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_canonicalize_is_arrow_not_batch_python(spark):
+    from xidel_spark.queries import q_url_canonicalize
+
+    plan = plan_of(q_url_canonicalize(spark, SF))
+    assert "ArrowEvalPython" in plan  # vectorized Arrow UDF, not BatchEvalPython
+    assert "BatchEvalPython" not in plan

@@ -1,0 +1,42 @@
+"""Politeness budget invariants (--wait, xidelbase.pas:2118)."""
+
+from pyspark.sql import functions as F
+
+from xidel_spark.corpus import fixture_graph, synth_docs, synth_seeds
+from xidel_spark.crawl.engine import crawl_exact
+from xidel_spark.crawl.politeness import assert_spacing, politeness_schedule
+from xidel_spark.extract.links import extract_links
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_per_host_spacing_holds(spark):
+    docs = synth_docs(spark, SF)
+    res = crawl_exact(spark, extract_links(docs, "//a"), synth_seeds(spark, SF))
+    sched = politeness_schedule(res.visited, wait_ms=500)
+    assert assert_spacing(sched, 500)
+    # cross-host parallelism: the schedule must NOT serialize globally —
+    # total makespan is per-host, far below visits × wait
+    stats = sched.agg(
+        F.max("scheduled_ms").alias("makespan"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert stats["makespan"] < stats["n"] * 500
+
+
+def test_spacing_violation_detected(spark):
+    bad = spark.createDataFrame(
+        [("u1", "h", 1, 0), ("u2", "h", 2, 100)],
+        "url string, host string, host_seq int, scheduled_ms long",
+    )
+    assert not assert_spacing(bad, 500)
+
+
+def test_reference_global_budget_mode(spark):
+    """single-threaded reference equivalence: with ONE politeness bucket the
+    schedule degenerates to the global wait between consecutive fetches."""
+    docs = fixture_graph(spark)
+    res = crawl_exact(spark, extract_links(docs, "//a"), ["a.xml"])
+    one_bucket = res.visited.withColumn("url2", F.col("url"))
+    sched = politeness_schedule(one_bucket, wait_ms=200)  # fixture urls: host_of = '' → one bucket
+    rows = sorted(sched.collect(), key=lambda r: r["host_seq"])
+    assert [r["scheduled_ms"] for r in rows] == [i * 200 for i in range(len(rows))]
