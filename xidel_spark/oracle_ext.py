@@ -114,6 +114,48 @@ SELECT doc_id,
 FROM m
 """
 
+DATETIME_FUNCTIONS = """
+SELECT event_id::BIGINT AS event_id,
+       CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+       CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
+       strftime(ts, '%Y-%m-%d') AS iso_date,
+       CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+       strftime(ts::DATE + INTERVAL 7 DAY, '%Y-%m-%d') AS plus7
+FROM events
+"""
+
+MATH_FUNCTIONS = """
+SELECT l_orderkey::BIGINT AS l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber,
+       abs(l_extendedprice - 1000) AS abs_x,
+       CAST(ceil(l_discount * 100) AS BIGINT) AS ceil_disc,
+       CAST(floor(l_tax * 100) AS BIGINT) AS floor_tax,
+       floor(sqrt(l_extendedprice) * 10000 + 0.5) / 10000 AS sqrt_x,
+       floor(pow(l_quantity, 2.0) * 10000 + 0.5) / 10000 AS qty_sq
+FROM lineitem
+"""
+
+HIGHER_ORDER_FUNCTIONS = r"""
+WITH t AS (SELECT doc_id::BIGINT AS doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents)
+SELECT doc_id,
+       array_to_string(list_transform(toks[1:3], x -> upper(substr(x, 1, 3))), ',') AS upper3_head,
+       CAST(len(list_filter(toks, x -> length(x) > 4)) AS INT) AS n_long,
+       CAST(list_reduce(list_prepend(0, list_transform(toks, x -> length(x))), (a, b) -> a + b) AS INT) AS total_len,
+       CASE WHEN len(toks) >= 1 THEN toks[1] || '~' || toks[len(toks)] END AS first_pair
+FROM t
+"""
+
+OPTION_INHERITANCE = """
+SELECT o_orderkey::BIGINT AS o_orderkey,
+       printf('http://h%02d.example.com/api/%d', o_custkey % 13, o_orderkey) AS url,
+       CASE WHEN o_orderkey % 5 = 0 THEN 'POST' ELSE 'GET' END AS method,
+       CASE WHEN o_orderkey % 7 = 0 THEN 'json' ELSE 'auto' END AS input_format,
+       '' AS error_handling,
+       CAST(0 AS BIGINT) AS wait_ms
+FROM orders
+"""
+
 EXT_ORACLES = {
     "resolve_uri": RESOLVE_URI,
     "error_policy": ERROR_POLICY,
@@ -121,4 +163,8 @@ EXT_ORACLES = {
     "changelog_condense": CHANGELOG_CONDENSE,
     "changelog_json": CHANGELOG_JSON,
     "media_features": MEDIA_FEATURES,
+    "datetime_functions": DATETIME_FUNCTIONS,
+    "math_functions": MATH_FUNCTIONS,
+    "higher_order_functions": HIGHER_ORDER_FUNCTIONS,
+    "option_inheritance": OPTION_INHERITANCE,
 }

@@ -112,6 +112,79 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "mime", "blob_len", "first_byte", "byte_sum")
 
 
+def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date/time function class (SURVEY §2.3): component extraction,
+    formatting, epoch arithmetic over the events timestamps."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts = F.col("ts")
+    return ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.year(ts).cast("int").alias("y"),
+        F.month(ts).cast("int").alias("m"),
+        F.dayofmonth(ts).cast("int").alias("d"),
+        F.hour(ts).cast("int").alias("h"),
+        F.date_format(ts, "yyyy-MM-dd").alias("iso_date"),
+        F.unix_timestamp(ts).cast("long").alias("epoch"),
+        F.date_format(F.date_add(ts.cast("date"), 7), "yyyy-MM-dd").alias("plus7"),
+    )
+
+
+def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """math module (abs/ceil/floor/round/sqrt/pow/pi) over lineitem."""
+    from .util import qround
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    x = F.col("l_extendedprice")
+    return li.select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        F.abs(x - 1000).alias("abs_x"),
+        F.ceil(F.col("l_discount") * 100).cast("long").alias("ceil_disc"),
+        F.floor(F.col("l_tax") * 100).cast("long").alias("floor_tax"),
+        qround(F.sqrt(x), 4).alias("sqrt_x"),
+        qround(F.pow(F.col("l_quantity"), F.lit(2.0)), 4).alias("qty_sq"),
+    )
+
+
+def q_higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """higher-order fn class: for-each(transform), filter, fold-left
+    (aggregate), for-each-pair (zip_with) over token sequences."""
+    from .functions.strings import tokenize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    toks = tokenize(F.col("text"))
+    upper3 = F.transform(toks, lambda t: F.upper(F.substring(t, 1, 3)))
+    longs = F.filter(toks, lambda t: F.length(t) > 4)
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    pairs = F.zip_with(toks, F.reverse(toks), lambda a, b: F.concat(a, F.lit("~"), b))
+    return docs.select(
+        "doc_id",
+        F.array_join(F.slice(upper3, 1, 3), ",").alias("upper3_head"),
+        F.size(longs).cast("int").alias("n_long"),
+        total_len.cast("int").alias("total_len"),
+        F.try_element_at(pairs, F.lit(1)).alias("first_pair"),
+    )
+
+
+def q_option_inheritance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """follow-object option overrides coalesced with session defaults
+    (mergeWithObject, xidelbase.pas:1810-1842): object wins, else default."""
+    from .crawl.options import SessionOptions, effective_options
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    frontier = o.select(
+        k.cast("long").alias("o_orderkey"),
+        F.format_string("http://h%02d.example.com/api/%d", (F.col("o_custkey") % 13).cast("long"), k.cast("long")).alias("url"),
+        F.when(k % 5 == 0, "POST").otherwise(F.lit(None).cast("string")).alias("method"),
+        F.when(k % 7 == 0, "json").otherwise(F.lit(None).cast("string")).alias("input_format"),
+    )
+    eff = effective_options(frontier, SessionOptions(method="GET", input_format="auto"))
+    return eff.select("o_orderkey", "url", "method", "input_format", "error_handling", "wait_ms")
+
+
 EXT_QUERIES = {
     "resolve_uri": q_resolve_uri,
     "error_policy": q_error_policy,
@@ -119,4 +192,8 @@ EXT_QUERIES = {
     "changelog_condense": q_changelog_condense,
     "changelog_json": q_changelog_json,
     "media_features": q_media_features,
+    "datetime_functions": q_datetime_functions,
+    "math_functions": q_math_functions,
+    "higher_order_functions": q_higher_order_functions,
+    "option_inheritance": q_option_inheritance,
 }
