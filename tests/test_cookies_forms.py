@@ -1,0 +1,41 @@
+"""Cookie jar and form() request constructor."""
+
+from pyspark.sql import functions as F
+
+from xidel_spark.crawl.cookies import cookie_headers, parse_set_cookie, update_jar
+from xidel_spark.crawl.requests import request_from_form
+
+
+def test_cookie_roundtrip(spark):
+    resp1 = spark.createDataFrame(
+        [("http://a.com/x", "sid=1; Path=/"), ("http://b.com/", "t=9")],
+        "url string, set_cookie string",
+    )
+    jar = update_jar(None, parse_set_cookie(resp1))
+    # second wave overwrites sid and adds lang
+    resp2 = spark.createDataFrame(
+        [("http://a.com/y", "sid=2"), ("http://a.com/z", "lang=de")],
+        "url string, set_cookie string",
+    )
+    jar = update_jar(jar, parse_set_cookie(resp2))
+    hdrs = {r["host"]: r["cookie_header"] for r in cookie_headers(jar).collect()}
+    assert hdrs["a.com"] == "lang=de; sid=2"
+    assert hdrs["b.com"] == "t=9"
+
+
+def test_form_request_constructor(spark):
+    df = spark.createDataFrame(
+        [
+            ("http://e.com/submit", "post", [("a", "1"), ("b", "2")], "http://e.com/page"),
+            (None, None, [("q", "x")], "http://e.com/page"),
+        ],
+        "action string, method string, fields array<struct<name:string,value:string>>, base string",
+    )
+    out = df.select(
+        request_from_form(F.col("action"), F.col("method"), F.col("fields"), F.col("base")).alias("r")
+    ).select("r.*").collect()
+    post, get = out
+    assert (post["url"], post["method"], post["body"]) == ("http://e.com/submit", "POST", "a=1&b=2")
+    assert (get["url"], get["method"], get["query"], get["body"]) == (
+        "http://e.com/page", "GET", "q=x", ""
+    )

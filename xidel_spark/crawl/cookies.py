@@ -1,0 +1,57 @@
+"""Cookie jar — load/save cookies across requests (RFC 6265-lite).
+
+The reference keeps a cookie store on the connection object and persists
+it with --load-cookies/--save-cookies (xidelbase.pas:1123-1126, 2134;
+changelog:33). Distributed form: the jar is a small (host, name, value)
+table — updated per wave from Set-Cookie response headers (last write
+wins in wave order), broadcast back into the next wave's fetch as a
+per-host Cookie header, and persisted with the checkpoint snapshots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def parse_set_cookie(responses: DataFrame, url_col: str = "url", header_col: str = "set_cookie") -> DataFrame:
+    """(host, name, value, order) from Set-Cookie response headers;
+    attributes after the first ';' are ignored (lite)."""
+    from ..urlnorm import host_of
+
+    pair = F.split(F.split(F.col(header_col), ";").getItem(0), "=", 2)
+    return (
+        responses.where(F.col(header_col).isNotNull())
+        .select(
+            host_of(F.col(url_col)).alias("host"),
+            F.trim(pair.getItem(0)).alias("name"),
+            F.trim(pair.getItem(1)).alias("value"),
+            F.monotonically_increasing_id().alias("order"),
+        )
+    )
+
+
+def update_jar(jar: DataFrame | None, new_cookies: DataFrame) -> DataFrame:
+    """last-write-wins per (host, name)."""
+    if jar is not None:
+        new_cookies = jar.unionByName(new_cookies.withColumn("order", F.col("order") + 1_000_000))
+    w = Window.partitionBy("host", "name").orderBy(F.desc("order"))
+    return (
+        new_cookies.withColumn("__rn", F.row_number().over(w))
+        .where("__rn = 1")
+        .drop("__rn")
+    )
+
+
+def cookie_headers(jar: DataFrame) -> DataFrame:
+    """(host, cookie_header): 'a=1; b=2' with names sorted — ready to
+    broadcast-join onto the frontier before the fetch stage."""
+    return (
+        jar.groupBy("host")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list(F.concat("name", F.lit("="), "value"))), "; "
+            ).alias("cookie_header")
+        )
+    )

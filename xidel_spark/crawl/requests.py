@@ -34,6 +34,28 @@ def request_key(
     )
 
 
+def request_from_form(
+    action_url: Column, method: Column, fields: Column, base_uri: Column
+) -> Column:
+    """form() → request object (readme.txt:203-214): a struct with the
+    resolved action url, method, and the urlencoded field body — fields is
+    an array<struct<name,value>> in document order (first wins on dup
+    names, like browser form submission)."""
+    body = F.array_join(
+        F.transform(fields, lambda f: F.concat(f["name"], F.lit("="), f["value"])), "&"
+    )
+    return F.struct(
+        F.coalesce(action_url, base_uri).alias("url"),
+        F.upper(F.coalesce(method, F.lit("GET"))).alias("method"),
+        F.when(F.upper(F.coalesce(method, F.lit("GET"))) == "GET", F.lit(""))
+        .otherwise(body)
+        .alias("body"),
+        F.when(F.upper(F.coalesce(method, F.lit("GET"))) == "GET", body)
+        .otherwise(F.lit(""))
+        .alias("query"),
+    )
+
+
 def dedup_requests(requests: DataFrame, arrival_col: str = "arrival") -> DataFrame:
     """Drop duplicate requests, keeping the first by arrival order — the
     enqueue-time dedup of xidelbase.pas:1484-1491 applied to a request

@@ -53,7 +53,7 @@ def xidel_lt(a: Column, b: Column) -> Column:
 def weak_eq(a: Column, b: Column) -> Column:
     """Weak-typed general comparison: numeric if both castable, boolean
     words against booleans, else collation equality."""
-    an, bn = a.cast("double"), b.cast("double")
+    an, bn = a.try_cast("double"), b.try_cast("double")  # ANSI-safe coercion probe
     return F.when(an.isNotNull() & bn.isNotNull(), an == bn).otherwise(
         xidel_eq(a.cast("string"), b.cast("string"))
     )
@@ -61,4 +61,4 @@ def weak_eq(a: Column, b: Column) -> Column:
 
 def weak_add(a: Column, b: Column) -> Column:
     """1 + "2" = 3 (readme.txt:176): untyped atomics coerce to number."""
-    return a.cast("double") + b.cast("double")
+    return a.try_cast("double") + b.try_cast("double")
