@@ -163,9 +163,15 @@ class FrontierCrawler:
             # ONE heavy materialization per wave: candidate count, dedup
             # count and the fresh frontier all read this checkpoint
             joined = joined.localCheckpoint(eager=True)
-            n_cand = joined.count()
+            counts = {
+                bool(r["seen"]): r["n"]
+                for r in joined.groupBy(
+                    F.col("__seen").isNotNull().alias("seen")
+                ).agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            n_cand = counts.get(True, 0) + counts.get(False, 0)
+            n_fresh = counts.get(False, 0)
             fresh = joined.where(F.col("__seen").isNull()).drop("__seen")
-            n_fresh = joined.where(F.col("__seen").isNull()).count()
             m = {
                 "wave": wave,
                 "candidates": n_cand,

@@ -156,6 +156,25 @@ SELECT o_orderkey::BIGINT AS o_orderkey,
 FROM orders
 """
 
+EMBEDDING_NEAR_DUP = """
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000 + 0.5) / 1000 AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, sim FROM p WHERE sim >= 0.25
+"""
+
+WINDOW_SLIDING = """
+WITH r AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e, event_type, k
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+)
+SELECT CAST(floor((e - k * 1800) / 3600) * 3600 + k * 1800 AS BIGINT) AS w_start,
+       event_type, count(*)::BIGINT AS n
+FROM r GROUP BY 1, 2
+"""
+
 EXT_ORACLES = {
     "resolve_uri": RESOLVE_URI,
     "error_policy": ERROR_POLICY,
@@ -167,4 +186,6 @@ EXT_ORACLES = {
     "math_functions": MATH_FUNCTIONS,
     "higher_order_functions": HIGHER_ORDER_FUNCTIONS,
     "option_inheritance": OPTION_INHERITANCE,
+    "embedding_near_dup": EMBEDDING_NEAR_DUP,
+    "window_sliding": WINDOW_SLIDING,
 }

@@ -185,6 +185,35 @@ def q_option_inheritance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eff.select("o_orderkey", "url", "method", "input_format", "error_handling", "wait_ms")
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding-cosine near-duplicate pairs (brute force, sim >= 0.25 on
+    the synthetic corpus) — the embedding leg of the dedup family."""
+    from .ops.similarity import cosine
+    from .util import qround
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, a.id_a < b.id_b)
+    sim = qround(cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")), 3)
+    return pairs.select("id_a", "id_b", sim.alias("sim")).where(F.col("sim") >= 0.25)
+
+
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sliding window clause (1h windows, 30min slide): each event falls in
+    two windows; arithmetic form shared verbatim with the oracle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = F.unix_timestamp("ts").cast("long")
+    k = F.explode(F.array(F.lit(0), F.lit(1)))
+    rows = ev.select(e.alias("e"), F.col("event_type"), k.alias("k"))
+    w_start = (F.floor((F.col("e") - F.col("k") * 1800) / 3600) * 3600 + F.col("k") * 1800).cast("long")
+    return (
+        rows.select(w_start.alias("w_start"), "event_type")
+        .groupBy("w_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 EXT_QUERIES = {
     "resolve_uri": q_resolve_uri,
     "error_policy": q_error_policy,
@@ -196,4 +225,6 @@ EXT_QUERIES = {
     "math_functions": q_math_functions,
     "higher_order_functions": q_higher_order_functions,
     "option_inheritance": q_option_inheritance,
+    "embedding_near_dup": q_embedding_near_dup,
+    "window_sliding": q_window_sliding,
 }
