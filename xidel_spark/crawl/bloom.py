@@ -58,6 +58,21 @@ class ShardedBloom:
     def to_rows(self) -> list[tuple[int, bytes]]:
         return sorted(self.blocks.items())
 
+    def merge(self, other: "ShardedBloom") -> "ShardedBloom":
+        """OR-merge bit blocks (incremental build: per wave only the NEW
+        urls are hashed; prior state is reused — O(increment), not O(seen))."""
+        assert (self.n_shards, self.m_bits, self.k) == (other.n_shards, other.m_bits, other.k)
+        blocks = dict(self.blocks)
+        for s, b in other.blocks.items():
+            if s in blocks:
+                blocks[s] = (
+                    np.frombuffer(blocks[s], dtype=np.uint8)
+                    | np.frombuffer(b, dtype=np.uint8)
+                ).tobytes()
+            else:
+                blocks[s] = b
+        return ShardedBloom(self.n_shards, self.m_bits, self.k, blocks)
+
     @classmethod
     def from_rows(cls, n_shards: int, m_bits: int, k: int, rows) -> "ShardedBloom":
         return cls(n_shards, m_bits, k, {int(s): bytes(b) for s, b in rows})

@@ -127,6 +127,13 @@ class FrontierCrawler:
                 self.store.commit(0, frontier, m)
             start_wave = 1
 
+        bloom = None
+        if self.use_bloom and snap is not None:
+            # resume: the filter must over-approximate the FULL seen set
+            # (a bloom miss skips the exact check — false drops forbidden)
+            bloom = build_bloom(
+                seen, n_shards=self.bloom_shards, capacity_per_shard=262_144
+            )
         wave = start_wave
         while wave < max_waves and wave <= self.max_depth:
             cand = (
@@ -142,11 +149,14 @@ class FrontierCrawler:
             cand, robots_blocked = self._filter_robots(cand)
             if self.use_bloom:
                 # Bloom pre-filter: definitely-new candidates skip the
-                # exact join; only maybe-seen get the flag lookup
-                bloom = build_bloom(
-                    seen, n_shards=self.bloom_shards,
-                    capacity_per_shard=max(1024, 4096),
+                # exact join; only maybe-seen get the flag lookup. The
+                # filter is built INCREMENTALLY: only the previous wave's
+                # fresh urls are hashed, then OR-merged into the jar.
+                inc = build_bloom(
+                    frontier.select("url"), n_shards=self.bloom_shards,
+                    capacity_per_shard=262_144,
                 )
+                bloom = inc if bloom is None else bloom.merge(inc)
                 definitely_new, maybe = split_candidates(cand, bloom)
                 joined = definitely_new.withColumn(
                     "__seen", F.lit(None).cast("boolean")
