@@ -115,6 +115,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """date/time function class (SURVEY §2.3): component extraction,
     formatting, epoch arithmetic over the events timestamps."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # driver session may differ
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts = F.col("ts")
     return ev.select(
@@ -202,6 +203,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sliding window clause (1h windows, 30min slide): each event falls in
     two windows; arithmetic form shared verbatim with the oracle."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     e = F.unix_timestamp("ts").cast("long")
     k = F.explode(F.array(F.lit(0), F.lit(1)))

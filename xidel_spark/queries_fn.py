@@ -90,6 +90,7 @@ def q_flwor_group_order(spark, sf_dir):
 
 def q_window_tumbling(spark, sf_dir):
     """tumbling-window clause (XQuery 3.0 window FLWOR → time bucket agg)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # driver session may differ
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
         ev.groupBy(
