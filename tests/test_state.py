@@ -88,3 +88,25 @@ def test_robots_blocks_host(spark, cyclic_links):
     assert not any("h1.test" in u for u in seen_flt)      # robots blocked it
     assert any(m["robots_blocked"] > 0 for m in filtered.metrics)
     assert seen_flt <= seen_unf
+
+
+def test_parse_robots_txt():
+    from xidel_spark.crawl.robots import parse_robots_txt
+
+    txt = """
+# comment
+User-agent: googlebot
+Disallow: /private/
+
+User-agent: *
+Disallow: /tmp/
+Allow: /tmp/ok/
+Disallow:
+"""
+    rules = parse_robots_txt("h.test", txt)
+    assert ("h.test", "/", True) in rules
+    assert ("h.test", "/tmp/", False) in rules
+    assert ("h.test", "/tmp/ok/", True) in rules
+    assert all(p != "/private/" for _, p, _ in rules)  # wrong agent group
+    gb = parse_robots_txt("h.test", txt, agent="googlebot")
+    assert ("h.test", "/private/", False) in gb

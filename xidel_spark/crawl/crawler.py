@@ -120,10 +120,10 @@ class FrontierCrawler:
             seen = frontier.select("url")
             if seen_table is not None:
                 seen_table.overwrite(frontier.select("url"))
+            m = {"wave": 0, "candidates": 0, "deduped": 0, "robots_blocked": blocked,
+                 "enqueued": frontier.count()}
+            metrics.append(m)
             if self.store:
-                m = {"wave": 0, "candidates": 0, "deduped": 0, "robots_blocked": blocked,
-                     "enqueued": frontier.count()}
-                metrics.append(m)
                 self.store.commit(0, frontier, m)
             start_wave = 1
 

@@ -19,6 +19,33 @@ from pyspark.sql.window import Window
 from ..urlnorm import host_of
 
 
+def parse_robots_txt(host: str, text: str, agent: str = "*") -> list[tuple[str, str, bool]]:
+    """robots.txt → (host, prefix, allow) rows for the rule table.
+    Groups by User-agent; rules from the matching group (exact agent wins
+    over '*'); empty Disallow means allow-all. Longest-prefix precedence is
+    applied at query time (apply_robots)."""
+    groups: dict[str, list[tuple[str, bool]]] = {}
+    current: list[str] = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            current = [val.lower()]
+            groups.setdefault(val.lower(), [])
+        elif key in ("disallow", "allow") and current:
+            for g in current:
+                if val:
+                    groups[g].append((val, key == "allow"))
+                # 'Disallow:' (empty) = allow everything → no rule needed
+    chosen = groups.get(agent.lower(), groups.get("*", []))
+    rules = [(host, "/", True)]  # default allow
+    rules += [(host, prefix, allow) for prefix, allow in chosen]
+    return rules
+
+
 def path_of(url_col):
     return F.regexp_extract(url_col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+(/[^?#]*)", 1)
 
