@@ -23,6 +23,8 @@ def entry(spark: SparkSession) -> DataFrame:
     from xidel_spark.crawl.engine import crawl_exact
     from xidel_spark.extract.links import extract_kind_text, extract_links
 
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     sf_dir = "/root/testdata/sf0.001"
     docs = corpus.synth_docs(spark, sf_dir)
     links = extract_links(docs, "//a")

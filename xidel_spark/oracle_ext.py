@@ -175,6 +175,21 @@ SELECT CAST(floor((e - k * 1800) / 3600) * 3600 + k * 1800 AS BIGINT) AS w_start
 FROM r GROUP BY 1, 2
 """
 
+JSON_FUNCTIONS = """
+WITH ids AS (SELECT doc_id::BIGINT AS d FROM documents),
+j AS (SELECT d, printf('{"a": %d, "arr": [%d, %d], "s": "x%d"}',
+                       d % 5, d % 3, d % 7, d % 11) AS doc FROM ids)
+SELECT d AS doc_id,
+       CAST(json_extract_string(doc, '$.a') AS INT) AS a,
+       CAST(json_array_length(doc, '$.arr') AS INT) AS arr_size,
+       CAST(json_extract_string(doc, '$.arr[0]') AS INT)
+         + CAST(json_extract_string(doc, '$.arr[1]') AS INT) AS arr_sum,
+       CAST(json_extract_string(doc, '$.arr[0]') AS INT) AS first_member,
+       json_extract_string(doc, '$.s') AS s,
+       array_to_string(list_sort(json_keys(doc)), ',') AS keys_joined
+FROM j
+"""
+
 EXT_ORACLES = {
     "resolve_uri": RESOLVE_URI,
     "error_policy": ERROR_POLICY,
@@ -188,4 +203,5 @@ EXT_ORACLES = {
     "option_inheritance": OPTION_INHERITANCE,
     "embedding_near_dup": EMBEDDING_NEAR_DUP,
     "window_sliding": WINDOW_SLIDING,
+    "json_functions": JSON_FUNCTIONS,
 }

@@ -19,7 +19,16 @@ from .extract.links import extract_links
 from .urlnorm import canonicalize
 
 
+def _tune_iterative(spark: SparkSession) -> None:
+    """The driver's session may default to 200 shuffle partitions; the
+    iterative crawl fixpoints run many small jobs and need sane sizing
+    (results are unaffected — this is pure physical tuning)."""
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 def _layered(spark: SparkSession, sf_dir: str):
+    _tune_iterative(spark)
     docs = corpus.synth_docs(spark, sf_dir)
     links = extract_links(docs, "//a")  # through the spans path, not the raw arithmetic
     seeds = corpus.synth_seeds(spark, sf_dir)
@@ -44,6 +53,7 @@ def q_crawl_nodedup_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_crawl_seen_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seen set + BFS depth on the cyclic corpus — exercises the cross-wave
     anti-join dedup (the production wave loop)."""
+    _tune_iterative(spark)
     links = corpus.synth_links_cyclic(spark, sf_dir)
     seeds = corpus.synth_seeds(spark, sf_dir)
     res = crawl_waves(spark, links, seeds)

@@ -59,6 +59,9 @@ def q_error_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_frontier_priority_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """host-bucketed priority queue: fetch order = (priority, DFS rank) —
     the sort-within-partitions Delta of the north rule, checked globally."""
+    from .queries import _tune_iterative
+
+    _tune_iterative(spark)
     docs = corpus.synth_docs(spark, sf_dir)
     links = extract_links(docs, "//a")
     res = crawl_exact(spark, links, corpus.synth_seeds(spark, sf_dir))
@@ -216,6 +219,27 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONiq object/array functions (jn:keys/size/members, map/array
+    access — readme.txt:139-160) over synthesized JSON documents."""
+    docs = corpus.base_docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("d"))
+    d = F.col("d")
+    jdoc = F.format_string('{"a": %d, "arr": [%d, %d], "s": "x%d"}',
+                           (d % 5).cast("long"), (d % 3).cast("long"),
+                           (d % 7).cast("long"), (d % 11).cast("long"))
+    parsed = F.from_json(jdoc, "a int, arr array<int>, s string")
+    return docs.select(
+        d.alias("doc_id"),
+        parsed["a"].alias("a"),
+        F.size(parsed["arr"]).cast("int").alias("arr_size"),
+        F.aggregate(parsed["arr"], F.lit(0), lambda acc, x: acc + x).cast("int").alias("arr_sum"),
+        F.try_element_at(parsed["arr"], F.lit(1)).cast("int").alias("first_member"),
+        parsed["s"].alias("s"),
+        F.array_join(F.array_sort(F.map_keys(
+            F.from_json(jdoc, "map<string,string>"))), ",").alias("keys_joined"),
+    )
+
+
 EXT_QUERIES = {
     "resolve_uri": q_resolve_uri,
     "error_policy": q_error_policy,
@@ -229,4 +253,5 @@ EXT_QUERIES = {
     "option_inheritance": q_option_inheritance,
     "embedding_near_dup": q_embedding_near_dup,
     "window_sliding": q_window_sliding,
+    "json_functions": q_json_functions,
 }
