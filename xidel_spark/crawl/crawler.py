@@ -58,7 +58,9 @@ class FrontierCrawler:
         bucketed: bool = False,
         n_buckets: int = 32,
         state_prefix: str = "xs",
+        broadcast_frontier_max: int = 2_000_000,
     ):
+        self.broadcast_frontier_max = broadcast_frontier_max
         self.partition_by_host = partition_by_host
         self.bucketed = bucketed
         self.n_buckets = n_buckets
@@ -135,9 +137,18 @@ class FrontierCrawler:
                 seen, n_shards=self.bloom_shards, capacity_per_shard=262_144
             )
         wave = start_wave
+        last_fresh = metrics[-1]["enqueued"] if metrics else None
         while wave < max_waves and wave <= self.max_depth:
+            # expansion join: the frontier is usually small relative to the
+            # link table — broadcast it so links never reshuffle (falls back
+            # to a shuffle join automatically when the frontier grows)
+            frontier_side = (
+                F.broadcast(frontier)
+                if last_fresh is not None and last_fresh <= self.broadcast_frontier_max
+                else frontier
+            )
             cand = (
-                frontier.join(self.links, frontier.url == self.links.src)
+                frontier_side.join(self.links, frontier.url == self.links.src)
                 .groupBy(self.links.dst)
                 .agg(F.min(F.struct("rank", "idx", "depth")).alias("m"))
                 .select(
@@ -190,6 +201,7 @@ class FrontierCrawler:
                 "enqueued": n_fresh,
             }
             metrics.append(m)
+            last_fresh = n_fresh
             if n_fresh == 0:
                 joined.unpersist()
                 break
