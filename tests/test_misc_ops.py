@@ -1,0 +1,54 @@
+"""get-log/clear-log, in-place sink, skew salting."""
+
+from pyspark.sql import functions as F
+
+from xidel_spark.crawl.skew import detect_hot_keys, salted_repartition
+from xidel_spark.extract.changelog import clear_log, get_log
+from xidel_spark.io.inplace import write_inplace
+
+
+def _log(spark):
+    return spark.createDataFrame(
+        [("d", "a", 0, "1"), ("d", "b", 1, "2"), ("d", "a", 2, "3"), ("d", "c", 3, "4")],
+        "doc_id string, var_name string, seq_index long, value string",
+    )
+
+
+def test_get_and_clear_log(spark):
+    # mirrors tests/tests.sh:520 varlogAB shape: clear one var, history stays for others
+    log = _log(spark)
+    assert [r["value"] for r in get_log(log, "a").collect()] == ["1", "3"]
+    cleared = clear_log(log, "c")
+    assert {r["var_name"] for r in cleared.collect()} == {"a", "b"}
+    assert clear_log(log).count() == 0
+
+
+def test_inplace_overwrite_of_source(spark, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    spark.range(10).withColumn("v", F.col("id") * 2).write.parquet(p)
+    df = spark.read.parquet(p).where("id < 5")
+    write_inplace(df, p)  # overwriting the path we're reading from
+    back = spark.read.parquet(p)
+    assert back.count() == 5 and back.agg(F.max("id")).collect()[0][0] == 4
+
+
+def test_skew_salting_balances(spark):
+    rows = [("hot.com", f"http://hot.com/{i}") for i in range(900)] + [
+        (f"h{i}.com", f"http://h{i}.com/x") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "host string, url string")
+    hot = detect_hot_keys(df, "host", 0.1)
+    assert hot == ["hot.com"]
+    # AQE would coalesce these tiny test partitions right back — disable it
+    # here; at real sizes AQE keeps them (and this salting is its input)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        salted = salted_repartition(df, "host", hot, factor=8)
+        sizes = [
+            r["n"] for r in salted.groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # without salting one partition would hold >=900 rows
+    assert max(sizes) < 500

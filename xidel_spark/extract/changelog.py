@@ -79,6 +79,22 @@ def condensed_json(log: DataFrame) -> DataFrame:
     )
 
 
+def get_log(log: DataFrame, var_name: str | None = None) -> DataFrame:
+    """x:get-log([$name]) — the assignment history, optionally for one
+    variable (xidelbase.pas:4323-4372)."""
+    out = log.orderBy("seq_index")
+    if var_name is not None:
+        out = out.where(F.col("var_name") == var_name)
+    return out
+
+
+def clear_log(log: DataFrame, var_name: str | None = None) -> DataFrame:
+    """x:clear-log([$name]) — drop history (all, or one variable's)."""
+    if var_name is None:
+        return log.limit(0)
+    return log.where(F.col("var_name") != var_name)
+
+
 def _jstr(v):
     """serialize a logged value: numbers bare, strings quoted (the adhoc
     form keeps everything stringly; json-wrapped re-types numerics)."""
