@@ -39,3 +39,15 @@ def test_form_request_constructor(spark):
     assert (get["url"], get["method"], get["query"], get["body"]) == (
         "http://e.com/page", "GET", "q=x", ""
     )
+
+
+def test_request_fetch_lateral_join(spark):
+    from xidel_spark.corpus import fixture_graph
+    from xidel_spark.crawl.requests import request_fetch
+
+    docs = fixture_graph(spark)
+    reqs = spark.createDataFrame([("a.xml",), ("ghost.xml",)], "url string")
+    out = {r["url"]: r["response"] for r in request_fetch(reqs, docs).collect()}
+    assert out["a.xml"]["type"] == "text/html"
+    assert "AAA" in out["a.xml"]["raw"]
+    assert out["ghost.xml"] is None

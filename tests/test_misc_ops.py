@@ -52,3 +52,13 @@ def test_skew_salting_balances(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     # without salting one partition would hold >=900 rows
     assert max(sizes) < 500
+
+
+def test_crawl_query_determinism(spark):
+    """The driver hash-compares values — two runs of the same crawl query
+    must produce byte-identical rows."""
+    from xidel_spark.queries import q_crawl_dfs_order
+
+    a = sorted(map(tuple, q_crawl_dfs_order(spark, "/root/testdata/sf0.001").collect()))
+    b = sorted(map(tuple, q_crawl_dfs_order(spark, "/root/testdata/sf0.001").collect()))
+    assert a == b

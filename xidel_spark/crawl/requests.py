@@ -56,6 +56,24 @@ def request_from_form(
     )
 
 
+def request_fetch(requests: DataFrame, documents: DataFrame, url_col: str = "url") -> DataFrame:
+    """x:request($req) inside an expression (xidelbase.pas:4149-4205):
+    each request row gains the response object {url, type, headers, raw} —
+    realized as a lateral lookup join against the documents table (the
+    sandbox fetch; an HTTP stage on a cluster). Unmatched requests get a
+    null response (the 404 path feeds the error policy)."""
+    resp = documents.select(
+        F.col("doc_id").alias("__u"),
+        F.struct(
+            F.col("doc_id").alias("url"),
+            F.col("content_type").alias("type"),
+            F.col("headers").alias("headers"),
+            F.to_json(F.col("spans")).alias("raw"),
+        ).alias("response"),
+    )
+    return requests.join(resp, requests[url_col] == resp["__u"], "left").drop("__u")
+
+
 def dedup_requests(requests: DataFrame, arrival_col: str = "arrival") -> DataFrame:
     """Drop duplicate requests, keeping the first by arrival order — the
     enqueue-time dedup of xidelbase.pas:1484-1491 applied to a request
