@@ -62,3 +62,17 @@ def test_crawl_query_determinism(spark):
     a = sorted(map(tuple, q_crawl_dfs_order(spark, "/root/testdata/sf0.001").collect()))
     b = sorted(map(tuple, q_crawl_dfs_order(spark, "/root/testdata/sf0.001").collect()))
     assert a == b
+
+
+def test_guess_extraction_kind():
+    from xidel_spark.extract.kinds import guess_kind, normalize_selector
+
+    assert guess_kind("<html><title>{t:=.}</title></html>") == "pattern"
+    assert guess_kind("//a/@href") == "xpath"
+    assert guess_kind("$x + 1") == "xpath"
+    assert guess_kind("a") == "css"
+    assert guess_kind("a[href]") == "css"
+    assert guess_kind("div > span.cls") == "css"
+    assert guess_kind("count(//a)") == "xpath"
+    assert normalize_selector("a") == "//a"
+    assert normalize_selector("//title") == "//title"
