@@ -110,6 +110,25 @@ def run(spark) -> dict:
     ).count()
     timings["url_canonicalize"] = time.time() - t0
 
+    # q5: minhash-LSH dedup candidates over the SF document corpus
+    from xidel_spark.ops import dedup_text as dt
+
+    t0 = time.time()
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    sigs = dt.minhash_signature(base, k=8)
+    dt.lsh_candidate_pairs(dt.lsh_buckets(sigs, bands=4)).count()
+    timings["dedup_minhash_lsh"] = time.time() - t0
+
+    # q6: ANN top-k (SRP-LSH) over the embeddings table
+    from xidel_spark.ops.similarity import ann_topk_lsh
+
+    t0 = time.time()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ann_topk_lsh(emb.where(F.col("vec_id") < 64), emb, k=5, bits=8, tables=4).count()
+    timings["ann_topk_lsh"] = time.time() - t0
+
     return timings | {"extras": extras}
 
 
