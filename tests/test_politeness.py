@@ -40,3 +40,15 @@ def test_reference_global_budget_mode(spark):
     sched = politeness_schedule(one_bucket, wait_ms=200)  # fixture urls: host_of = '' → one bucket
     rows = sorted(sched.collect(), key=lambda r: r["host_seq"])
     assert [r["scheduled_ms"] for r in rows] == [i * 200 for i in range(len(rows))]
+
+
+def test_crawler_applies_wait_budget(spark):
+    from xidel_spark.crawl.crawler import FrontierCrawler
+
+    rows = [(f"http://h{i % 3}.test/p/{i}", k, f"http://h{(2 * i + k + 1) % 30 % 3}.test/p/{(2 * i + k + 1) % 30}")
+            for i in range(30) for k in range(2)]
+    links = spark.createDataFrame(rows, "src string, idx int, dst string")
+    run = FrontierCrawler(spark, links, wait_ms=250).run(["http://h0.test/p/0"])
+    assert "scheduled_ms" in run.frontier.columns
+    sched = run.frontier.select("host", "host_seq", "scheduled_ms")
+    assert assert_spacing(sched, 250)

@@ -206,6 +206,14 @@ class FrontierCrawler:
                 joined.unpersist()
                 break
             frontier = fresh.withColumn("host", host_of(F.col("url")))
+            if self.wait_ms > 0:
+                # politeness: earliest allowed fetch time per host bucket
+                # (window over the host partition about to be created)
+                from .politeness import politeness_schedule
+
+                frontier = politeness_schedule(
+                    frontier.drop("host"), wait_ms=self.wait_ms
+                )
             if self.partition_by_host:
                 frontier = frontier.repartition(F.col("host"))
             # slim dedicated checkpoint: what stays alive across waves is
