@@ -110,3 +110,22 @@ Disallow:
     assert all(p != "/private/" for _, p, _ in rules)  # wrong agent group
     gb = parse_robots_txt("h.test", txt, agent="googlebot")
     assert ("h.test", "/private/", False) in gb
+
+
+def test_torn_wave_is_invisible(spark, cyclic_links, tmp_path):
+    """snapshot isolation: a crash AFTER data files land but BEFORE the
+    manifest commit must leave the store at the previous wave."""
+    store = CrawlStateStore(str(tmp_path / "torn"))
+    FrontierCrawler(spark, cyclic_links, store=store).run(SEEDS, max_waves=3)
+    last = store.latest()
+    # simulate a torn wave: data directory exists, no manifest
+    torn_dir = tmp_path / "torn" / f"wave={last + 1}" / "frontier"
+    torn_dir.mkdir(parents=True)
+    (torn_dir / "part-00000.parquet").write_bytes(b"GARBAGE")
+    assert store.latest() == last
+    snap = store.load(spark)
+    assert snap.wave == last
+    # resume proceeds correctly from the last committed wave
+    resumed = FrontierCrawler(spark, cyclic_links, store=store).run(SEEDS)
+    full = FrontierCrawler(spark, cyclic_links).run(SEEDS)
+    assert {r["url"] for r in resumed.seen.collect()} == {r["url"] for r in full.seen.collect()}
