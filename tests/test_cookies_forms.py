@@ -23,6 +23,24 @@ def test_cookie_roundtrip(spark):
     assert hdrs["b.com"] == "t=9"
 
 
+def test_cookie_update_wins_across_partitions(spark):
+    """regression: monotonically_increasing_id carries partition-id high
+    bits (>= 2^33 past partition 0), so a +1e6 offset could not outrank a
+    stale jar entry — generations must, regardless of partitioning."""
+    resp1 = spark.createDataFrame(
+        [(f"http://a.com/{i}", f"junk{i}=x") for i in range(64)]
+        + [("http://a.com/x", "sid=old")],
+        "url string, set_cookie string",
+    ).repartition(16)
+    jar = update_jar(None, parse_set_cookie(resp1))
+    resp2 = spark.createDataFrame(
+        [("http://a.com/y", "sid=new")], "url string, set_cookie string"
+    )
+    jar = update_jar(jar, parse_set_cookie(resp2))
+    sid = jar.where("name = 'sid'").collect()
+    assert len(sid) == 1 and sid[0]["value"] == "new"
+
+
 def test_form_request_constructor(spark):
     df = spark.createDataFrame(
         [

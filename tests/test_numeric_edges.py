@@ -44,3 +44,18 @@ def golden(name):
 def test_numeric_matrix_matches_golden(matrix, name, expr):
     out = rows_of(matrix.withColumn("r", expr(F.col("a"), F.col("b"))), "r")
     assert out == golden(name), f"{name}: {out}"
+
+
+def test_idiv_mod_huge_quotient_no_ansi_abort(spark):
+    """regression: a finite quotient past 2^63 must yield err:FOAR0002 for
+    idiv (XPath overflow) and a finite value for mod — not a job-aborting
+    ANSI CAST_OVERFLOW."""
+    df = spark.createDataFrame(
+        [(1e300, 1.0), (-1e300, 1.0), (5e18, 1.0), (7.0, 2.0)], "a double, b double"
+    )
+    rows = df.select(
+        xdm_idiv(F.col("a"), F.col("b")).alias("i"),
+        xdm_mod(F.col("a"), F.col("b")).alias("m"),
+    ).collect()
+    assert [r["i"] for r in rows] == ["err:FOAR0002", "err:FOAR0002", "5000000000000000000", "3"]
+    assert rows[0]["m"] == "0" and rows[3]["m"] == "1"

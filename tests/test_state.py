@@ -104,12 +104,29 @@ Allow: /tmp/ok/
 Disallow:
 """
     rules = parse_robots_txt("h.test", txt)
-    assert ("h.test", "/", True) in rules
+    # default-allow rule has the EMPTY prefix so explicit rules outrank it
+    assert ("h.test", "", True) in rules
     assert ("h.test", "/tmp/", False) in rules
     assert ("h.test", "/tmp/ok/", True) in rules
     assert all(p != "/private/" for _, p, _ in rules)  # wrong agent group
     gb = parse_robots_txt("h.test", txt, agent="googlebot")
     assert ("h.test", "/private/", False) in gb
+
+
+def test_robots_disallow_all_is_deterministic(spark):
+    """'Disallow: /' must always beat the injected default-allow — the old
+    same-length tie was resolved by partition luck."""
+    from xidel_spark.crawl.robots import apply_robots, parse_robots_txt
+
+    rules = spark.createDataFrame(
+        parse_robots_txt("h.test", "User-agent: *\nDisallow: /\n"),
+        "host string, prefix string, allow boolean",
+    )
+    cand = spark.createDataFrame(
+        [(f"http://h.test/p{i}",) for i in range(200)], "url string"
+    ).repartition(8)
+    out = apply_robots(cand, rules)
+    assert out.where("allowed").count() == 0
 
 
 def test_torn_wave_is_invisible(spark, cyclic_links, tmp_path):

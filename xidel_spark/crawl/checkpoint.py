@@ -102,6 +102,17 @@ class CrawlStateStore:
             seen = seen.unionByName(inc)
         return Snapshot(wave=wave, frontier=frontier, seen=seen, manifest=manifest)
 
+    def increments(self, spark: SparkSession, wave: int | None = None) -> list[DataFrame]:
+        """Full-column frontier increments for every committed wave — used on
+        resume to rebuild derived per-host state (politeness watermarks)."""
+        wave = self.latest() if wave is None else wave
+        if wave is None:
+            return []
+        return [
+            spark.read.parquet(str(self._wave_dir(w) / "frontier"))
+            for w in range(wave + 1)
+        ]
+
     def manifests(self) -> list[dict]:
         out = []
         for p in sorted((self.root / "manifests").glob("wave-*.json")):

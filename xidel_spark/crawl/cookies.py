@@ -32,13 +32,27 @@ def parse_set_cookie(responses: DataFrame, url_col: str = "url", header_col: str
     )
 
 
-def update_jar(jar: DataFrame | None, new_cookies: DataFrame) -> DataFrame:
-    """last-write-wins per (host, name)."""
-    if jar is not None:
-        new_cookies = jar.unionByName(new_cookies.withColumn("order", F.col("order") + 1_000_000))
-    w = Window.partitionBy("host", "name").orderBy(F.desc("order"))
+def update_jar(
+    jar: DataFrame | None, new_cookies: DataFrame, generation: int | None = None
+) -> DataFrame:
+    """last-write-wins per (host, name), ordered by an explicit generation
+    counter (wave number) — NOT by monotonically_increasing_id arithmetic,
+    whose partition-id high bits (>= 2^33 for partition 1+) would let a
+    stale jar entry outrank a newer Set-Cookie. Within one generation the
+    intra-batch `order` id breaks ties (same partition-ordering semantics
+    the response batch arrived with)."""
+    if jar is None:
+        return new_cookies.withColumn("generation", F.lit(0).cast("long"))
+    if generation is None:
+        row = jar.agg(F.max("generation").alias("g")).first()
+        generation = int(row["g"] or 0) + 1
+    new_cookies = new_cookies.withColumn("generation", F.lit(generation).cast("long"))
+    merged = jar.unionByName(new_cookies)
+    w = Window.partitionBy("host", "name").orderBy(
+        F.desc("generation"), F.desc("order")
+    )
     return (
-        new_cookies.withColumn("__rn", F.row_number().over(w))
+        merged.withColumn("__rn", F.row_number().over(w))
         .where("__rn = 1")
         .drop("__rn")
     )

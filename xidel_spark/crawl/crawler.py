@@ -105,6 +105,7 @@ class FrontierCrawler:
             seen_table = BucketedTable(
                 spark, f"{self.state_prefix}_seen", "url", self.n_buckets
             )
+        watermark = None  # per-host last scheduled_ms carried ACROSS waves
         snap = self.store.load(spark) if self.store else None
         if snap is not None:
             frontier = snap.frontier.localCheckpoint(eager=True)
@@ -113,18 +114,42 @@ class FrontierCrawler:
             metrics = [m["metrics"] for m in self.store.manifests()]
             if seen_table is not None:
                 seen_table.overwrite(seen)
+            if self.wait_ms > 0:
+                # rebuild the politeness watermark from committed waves so
+                # the >= wait spacing survives a kill/resume boundary
+                from .politeness import host_watermark
+
+                for inc in self.store.increments(spark, snap.wave):
+                    if "scheduled_ms" in inc.columns:
+                        watermark = host_watermark(
+                            inc.select("host", "scheduled_ms"), watermark
+                        )
+                if watermark is not None:
+                    watermark = watermark.localCheckpoint(eager=True)
         else:
             frontier = _seeds_df(spark, seeds, dedup=True)
             frontier, blocked = self._filter_robots(frontier)
-            frontier = frontier.withColumn("host", host_of(F.col("url"))).repartition(
-                F.col("host")
-            ).localCheckpoint(eager=True)
+            if self.wait_ms > 0:
+                # seeds are fetches too: schedule wave 0 so the cross-wave
+                # watermark starts at the seeds' last per-host fetch
+                from .politeness import politeness_schedule
+
+                frontier = politeness_schedule(frontier, wait_ms=self.wait_ms)
+            else:
+                frontier = frontier.withColumn("host", host_of(F.col("url")))
+            frontier = frontier.repartition(F.col("host")).localCheckpoint(eager=True)
             seen = frontier.select("url")
             if seen_table is not None:
                 seen_table.overwrite(frontier.select("url"))
             m = {"wave": 0, "candidates": 0, "deduped": 0, "robots_blocked": blocked,
                  "enqueued": frontier.count()}
             metrics.append(m)
+            if self.wait_ms > 0:
+                from .politeness import host_watermark
+
+                watermark = host_watermark(
+                    frontier.select("host", "scheduled_ms")
+                ).localCheckpoint(eager=True)
             if self.store:
                 self.store.commit(0, frontier, m)
             start_wave = 1
@@ -208,11 +233,14 @@ class FrontierCrawler:
             frontier = fresh.withColumn("host", host_of(F.col("url")))
             if self.wait_ms > 0:
                 # politeness: earliest allowed fetch time per host bucket
-                # (window over the host partition about to be created)
-                from .politeness import politeness_schedule
+                # (window over the host partition about to be created); the
+                # watermark offsets each host past its previous wave's last
+                # fetch so spacing holds across the wave boundary too
+                from .politeness import host_watermark, politeness_schedule
 
                 frontier = politeness_schedule(
-                    frontier.drop("host"), wait_ms=self.wait_ms
+                    frontier.drop("host"), wait_ms=self.wait_ms,
+                    watermark=watermark,
                 )
             if self.partition_by_host:
                 frontier = frontier.repartition(F.col("host"))
@@ -221,6 +249,15 @@ class FrontierCrawler:
             # reads these; the wide per-wave join output is released now
             frontier = frontier.localCheckpoint(eager=True)
             joined.unpersist()
+            if self.wait_ms > 0:
+                from .politeness import host_watermark
+
+                old_wm = watermark
+                watermark = host_watermark(
+                    frontier.select("host", "scheduled_ms"), watermark
+                ).localCheckpoint(eager=True)
+                if old_wm is not None:
+                    old_wm.unpersist()
             # append-only seen: new increment unioned/appended, prior
             # increments are already stored — nothing is rewritten
             seen = seen.unionByName(frontier.select("url"))

@@ -41,7 +41,9 @@ def parse_robots_txt(host: str, text: str, agent: str = "*") -> list[tuple[str, 
                     groups[g].append((val, key == "allow"))
                 # 'Disallow:' (empty) = allow everything → no rule needed
     chosen = groups.get(agent.lower(), groups.get("*", []))
-    rules = [(host, "/", True)]  # default allow
+    # default-allow uses the EMPTY prefix (length 0) so any real rule —
+    # including an explicit 'Disallow: /' — outranks it deterministically
+    rules = [(host, "", True)]
     rules += [(host, prefix, allow) for prefix, allow in chosen]
     return rules
 
@@ -66,7 +68,11 @@ def apply_robots(candidates: DataFrame, rules: DataFrame, url_col: str = "url") 
         (cand["__host"] == rules["host"]) & cand["__path"].startswith(rules["prefix"]),
         "left",
     )
-    w = Window.partitionBy(url_col).orderBy(F.length(F.col("prefix")).desc())
+    # longest prefix wins; equal lengths tie-break to allow (the de-facto
+    # standard: least-restrictive rule wins ties) — fully deterministic
+    w = Window.partitionBy(url_col).orderBy(
+        F.length(F.col("prefix")).desc(), F.col("allow").desc()
+    )
     return (
         matched.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)

@@ -61,10 +61,14 @@ def xdm_idiv(a: Column, b: Column) -> Column:
     a_inf = F.abs(a) == float("inf")
     zero_div = _is_zero(b) & ~F.isnan(b)
     safe_b = F.when(zero_div, F.lit(1.0)).otherwise(b)
+    quot = a / safe_b
+    # |quotient| >= 2^63 cannot fit a long: XPath overflow (err:FOAR0002).
+    # Without the guard, ANSI mode aborts the job with CAST_OVERFLOW.
+    overflow = F.abs(quot) >= F.lit(9.223372036854775808e18)
     return (
         F.when(zero_div, F.lit(FOAR0001))
-        .when(nan | a_inf, F.lit(FOAR0002))
-        .otherwise((a / safe_b).cast("long").cast("string"))
+        .when(nan | a_inf | overflow, F.lit(FOAR0002))
+        .otherwise(quot.cast("long").cast("string"))
     )
 
 
@@ -76,7 +80,12 @@ def xdm_mod(a: Column, b: Column) -> Column:
     nan_case = _is_zero(b) | F.isnan(b) | F.isnan(a) | (F.abs(a) == float("inf"))
     b_inf = F.abs(b) == float("inf")
     safe_b = F.when(_is_zero(b), F.lit(1.0)).otherwise(b)
-    quot = (a / safe_b).cast("long").cast("double")
+    q_real = a / safe_b
+    # past 2^63 the long cast would ANSI-overflow, but any double >= 2^53
+    # is already integral, so trunc(q) == q there — use q_real directly
+    quot = F.when(
+        F.abs(q_real) >= F.lit(9.223372036854775808e18), q_real
+    ).otherwise(q_real.cast("long").cast("double"))
     return ser_double(
         F.when(nan_case, float("nan"))
         .when(b_inf | _is_zero(a), a)  # ±0 dividend keeps its sign

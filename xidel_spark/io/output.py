@@ -35,7 +35,10 @@ def xml_wrapped(values: DataFrame, value_col: str = "value") -> DataFrame:
 def json_wrapped(values: DataFrame, value_col: str = "value", group_col: str | None = None) -> DataFrame:
     """--output-format json-wrapped: one JSON array of the values (per
     group when group_col given)."""
-    esc = F.regexp_replace(F.col(value_col).cast("string"), '"', '\\\\"')
+    # backslash first, then quotes — mirrors golden_output._jq; escaping
+    # quotes alone would emit invalid JSON for values containing backslashes
+    esc = F.regexp_replace(F.col(value_col).cast("string"), r"\\", r"\\\\")
+    esc = F.regexp_replace(esc, '"', '\\\\"')
     item = F.concat(F.lit('"'), esc, F.lit('"'))
     if group_col is None:
         gb = values.select(item.alias("item")).agg(F.collect_list("item").alias("items"))
