@@ -46,10 +46,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     from xidel_spark.queries_ext import EXT_QUERIES
 
+    from xidel_spark.queries_sel import SEL_QUERIES
+
     out.update(CRAWL_QUERIES)
     out.update(OPS_QUERIES)
     out.update(FN_QUERIES)
     out.update(EXT_QUERIES)
+    out.update(SEL_QUERIES)
     return out
 
 
@@ -74,4 +77,7 @@ def oracle_sql() -> dict[str, str]:
     from xidel_spark.oracle_ext import EXT_ORACLES
 
     out.update(EXT_ORACLES)
+    from xidel_spark.oracle_sel import SEL_ORACLES
+
+    out.update(SEL_ORACLES)
     return out

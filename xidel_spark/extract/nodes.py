@@ -1,0 +1,308 @@
+"""Node-tree model for the selector engine.
+
+The reference evaluates XPath/CSS over a parsed DOM (internettools
+simplehtmltreeparser; dispatch at xidelbase.pas:2540-2543). The Spark-first
+re-expression keeps one *node array per document row* — a pre-order list of
+``NODE`` structs — so every axis step is per-row array algebra (Catalyst
+higher-order functions), never a join or shuffle. Documents evaluate in
+parallel across partitions; a selector over 100 TB of pages is exactly as
+shuffle-free as a `length(text)` projection.
+
+Node encoding (invariant: ``nodes[i].id == i - 1``, i.e. array position is
+id+1, ids are pre-order document order):
+
+    id     int                 pre-order index; 0 is the synthetic #doc root
+    parent int                 parent id (-1 for the root)
+    pos    int                 1-based index among ELEMENT siblings (0 for
+                               text/placeholder nodes) — CSS :nth-child
+    tag    string              element name; '#doc' root, '#text' text node,
+                               '#skip' dead placeholder (never matches)
+    attrs  map<string,string>  attributes
+    text   string              string-value (concatenated descendant text)
+    anc    array<int>          ancestor ids root-first — makes descendant::
+                               and ancestor:: O(depth) membership tests
+
+Two constructors:
+- `spans_to_nodes` — pure Catalyst, for the interleaved-spans documents
+  table (BASELINE.json input_hint): spans become element children of the
+  root, each with one '#text' child.
+- `parse_html_nodes` / `parse_xml_nodes` — the `parse-html`/`parse-xml`
+  doc loaders (xidelbase.pas parse-* / --input-format): Arrow-batched
+  pandas UDF over raw markup (parsing is inherently not expressible in
+  Catalyst; the batch transfer keeps it off the row-at-a-time path, the
+  north star's "vectorized Arrow UDF extraction stage").
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+NODE_FIELDS = StructType(
+    [
+        StructField("id", IntegerType()),
+        StructField("parent", IntegerType()),
+        StructField("pos", IntegerType()),
+        StructField("tag", StringType()),
+        StructField("attrs", MapType(StringType(), StringType())),
+        StructField("text", StringType()),
+        StructField("anc", ArrayType(IntegerType())),
+    ]
+)
+NODES_TYPE = ArrayType(NODE_FIELDS)
+
+# span kind → element tag the reference's selectors use ('//a' must match
+# anchor spans but NOT the fixture's <ad href=..> span, golden tests/output/tef)
+_KIND_TAG = {"link": "a", "image": "img"}
+# attribute carrying the span's media_ref, per kind
+_REF_ATTR = {"image": "src"}
+
+_I = lambda v: F.lit(v).cast("int")  # noqa: E731
+
+
+def _span_tag(kind: Column) -> Column:
+    out = kind
+    for k, tag in _KIND_TAG.items():
+        out = F.when(kind == k, F.lit(tag)).otherwise(out)
+    return out
+
+
+def _span_attrs(kind: Column, media_ref: Column) -> Column:
+    name = F.when(kind == "image", F.lit("src")).otherwise(F.lit("href"))
+    return F.when(
+        media_ref.isNotNull(), F.map_from_arrays(F.array(name), F.array(media_ref))
+    ).otherwise(F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<string>")))
+
+
+def spans_to_nodes(spans: Column) -> Column:
+    """interleaved spans → node array (root + one element per span, each
+    element with one '#text' child so `text()` steps work uniformly).
+
+    Ids are fixed arithmetic (element 2i+1, its text child 2i+2) so the
+    position==id+1 invariant holds without a running counter; a span with
+    NULL text still emits its child slot as a '#skip' placeholder that no
+    node test matches.
+    """
+    ss = F.array_sort(
+        spans,
+        lambda a, b: F.when(a["offset"] < b["offset"], -1)
+        .when(a["offset"] > b["offset"], 1)
+        .otherwise(0),
+    )
+    empty_map = F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<string>")
+    )
+    root = F.struct(
+        _I(0).alias("id"),
+        _I(-1).alias("parent"),
+        _I(0).alias("pos"),
+        F.lit("#doc").alias("tag"),
+        empty_map.alias("attrs"),
+        F.lit(None).cast("string").alias("text"),
+        F.array().cast("array<int>").alias("anc"),
+    )
+
+    def pair(s, i):
+        eid = (F.lit(2) * i + 1).cast("int")
+        elem = F.struct(
+            eid.alias("id"),
+            _I(0).alias("parent"),
+            (i + 1).cast("int").alias("pos"),
+            _span_tag(s["kind"]).alias("tag"),
+            _span_attrs(s["kind"], s["media_ref"]).alias("attrs"),
+            s["text"].alias("text"),
+            F.array(_I(0)).alias("anc"),
+        )
+        tchild = F.struct(
+            (eid + 1).cast("int").alias("id"),
+            eid.alias("parent"),
+            _I(0).alias("pos"),
+            F.when(s["text"].isNotNull(), F.lit("#text")).otherwise(F.lit("#skip")).alias("tag"),
+            empty_map.alias("attrs"),
+            s["text"].alias("text"),
+            F.array(_I(0), eid).alias("anc"),
+        )
+        return F.array(elem, tchild)
+
+    return F.concat(F.array(root), F.flatten(F.transform(ss, pair)))
+
+
+# ---------------------------------------------------------------------------
+# parse-html / parse-xml loaders (Arrow-batched)
+# ---------------------------------------------------------------------------
+
+_VOID = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input",
+    "link", "meta", "param", "source", "track", "wbr",
+}
+
+
+def _parse_html_py(html: str | None, wrap: bool = True) -> list[dict] | None:
+    """stdlib-HTMLParser → node dicts. Mirrors the reference's lenient tree
+    builder: void elements never nest, stray end tags pop to the nearest
+    open match, fragments get an implicit html/body wrapper (the reference
+    pins '/html/body/a' on a bare '<a>' fragment, tests.sh:597)."""
+    if html is None:
+        return None
+    from html.parser import HTMLParser
+
+    nodes: list[dict] = [
+        {"id": 0, "parent": -1, "pos": 0, "tag": "#doc", "attrs": {},
+         "text": None, "anc": []}
+    ]
+    stack = [0]  # ids of open elements
+    child_elems = {0: 0}
+
+    def add(tag, attrs, text):
+        nid = len(nodes)
+        parent = stack[-1]
+        if tag.startswith("#"):
+            pos = 0
+        else:
+            child_elems[parent] = child_elems.get(parent, 0) + 1
+            pos = child_elems[parent]
+        nodes.append(
+            {"id": nid, "parent": parent, "pos": pos, "tag": tag,
+             "attrs": attrs, "text": text,
+             "anc": nodes[parent]["anc"] + [parent] if parent >= 0 else []}
+        )
+        return nid
+
+    class P(HTMLParser):
+        def handle_starttag(self, tag, attrs):
+            amap = {}
+            for k, v in attrs:
+                amap.setdefault(k, v if v is not None else "")
+            nid = add(tag, amap, None)
+            if tag not in _VOID:
+                stack.append(nid)
+
+        def handle_startendtag(self, tag, attrs):
+            amap = {}
+            for k, v in attrs:
+                amap.setdefault(k, v if v is not None else "")
+            add(tag, amap, None)
+
+        def handle_endtag(self, tag):
+            for i in range(len(stack) - 1, 0, -1):
+                if nodes[stack[i]]["tag"] == tag:
+                    del stack[i:]
+                    return
+            # stray end tag: ignored (lenient)
+
+        def handle_data(self, data):
+            if data:
+                add("#text", {}, data)
+
+    parser = P(convert_charrefs=True)
+    parser.feed(html)
+    parser.close()
+
+    top = [n for n in nodes if n["parent"] == 0 and not n["tag"].startswith("#")]
+    if wrap and not (len(top) >= 1 and top[0]["tag"] == "html"):
+        nodes = _wrap_html_body(nodes)
+    _fill_string_values(nodes)
+    return nodes
+
+
+def _wrap_html_body(nodes: list[dict]) -> list[dict]:
+    """Re-root a fragment forest under synthetic html/body (ids renumbered
+    to keep the pre-order position==id+1 invariant)."""
+    out = [
+        {"id": 0, "parent": -1, "pos": 0, "tag": "#doc", "attrs": {}, "text": None, "anc": []},
+        {"id": 1, "parent": 0, "pos": 1, "tag": "html", "attrs": {}, "text": None, "anc": [0]},
+        {"id": 2, "parent": 1, "pos": 1, "tag": "body", "attrs": {}, "text": None, "anc": [0, 1]},
+    ]
+    remap = {0: 2}  # old root's children now hang off body (id 2)
+    for n in nodes[1:]:
+        new = dict(n)
+        new["id"] = len(out)
+        new["parent"] = remap[n["parent"]]
+        new["anc"] = out[new["parent"]]["anc"] + [new["parent"]]
+        remap[n["id"]] = new["id"]
+        out.append(new)
+    return out
+
+
+def _parse_xml_py(xml: str | None) -> list[dict] | None:
+    if xml is None:
+        return None
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(xml)
+    except ET.ParseError:
+        return None
+    nodes: list[dict] = [
+        {"id": 0, "parent": -1, "pos": 0, "tag": "#doc", "attrs": {}, "text": None, "anc": []}
+    ]
+
+    def walk(el, parent, pos):
+        nid = len(nodes)
+        tag = el.tag.split("}")[-1]
+        nodes.append(
+            {"id": nid, "parent": parent, "pos": pos, "tag": tag,
+             "attrs": dict(el.attrib), "text": None,
+             "anc": nodes[parent]["anc"] + [parent]}
+        )
+        if el.text:
+            nodes.append(
+                {"id": len(nodes), "parent": nid, "pos": 0, "tag": "#text",
+                 "attrs": {}, "text": el.text, "anc": nodes[nid]["anc"] + [nid]}
+            )
+        cpos = 0
+        for child in el:
+            cpos += 1
+            walk(child, nid, cpos)
+            if child.tail:
+                nodes.append(
+                    {"id": len(nodes), "parent": nid, "pos": 0, "tag": "#text",
+                     "attrs": {}, "text": child.tail, "anc": nodes[nid]["anc"] + [nid]}
+                )
+
+    walk(root, 0, 1)
+    _fill_string_values(nodes)
+    return nodes
+
+
+def _fill_string_values(nodes: list[dict]) -> None:
+    """element.text := concatenated descendant text (XPath string-value),
+    computed in one reverse pre-order pass."""
+    parts: dict[int, list[str]] = {n["id"]: [] for n in nodes}
+    for n in nodes:
+        if n["tag"] == "#text" and n["text"]:
+            for a in n["anc"]:
+                parts[a].append(n["text"])
+    for n in nodes:
+        if not n["tag"].startswith("#"):
+            n["text"] = "".join(parts[n["id"]])
+    if nodes:
+        nodes[0]["text"] = "".join(parts[0])
+
+
+@F.pandas_udf(NODES_TYPE)
+def parse_html_udf(htmls: pd.Series) -> pd.Series:
+    return htmls.map(_parse_html_py)
+
+
+@F.pandas_udf(NODES_TYPE)
+def parse_xml_udf(xmls: pd.Series) -> pd.Series:
+    return xmls.map(_parse_xml_py)
+
+
+def parse_html_nodes(markup: Column) -> Column:
+    """fn:parse-html analogue: raw HTML column → node array column."""
+    return parse_html_udf(markup)
+
+
+def parse_xml_nodes(markup: Column) -> Column:
+    return parse_xml_udf(markup)
