@@ -68,9 +68,45 @@ def test_robots_rules_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
-def test_canonicalize_is_arrow_not_batch_python(spark):
+def test_total_order_no_single_partition_exchange(spark):
+    """the crawl-order ordinal must never plan Exchange SinglePartition over
+    the data (the 100×-scale killer the old global Window.orderBy had);
+    the only allowed single-partition piece is the tiny per-partition
+    offset table, which must sit under a broadcast."""
+    from xidel_spark.corpus import synth_docs, synth_seeds
+    from xidel_spark.crawl.engine import crawl_exact
+    from xidel_spark.extract.links import extract_links
+
+    res = crawl_exact(spark, extract_links(synth_docs(spark, SF), "//a"),
+                      synth_seeds(spark, SF))
+    plan = plan_of(res.visited)
+    assert "Exchange SinglePartition" not in plan
+    # all remaining exchanges must be broadcasts (the tiny offset table);
+    # the range exchange is pinned inside the localCheckpoint
+    assert plan.count("Exchange") == plan.count("BroadcastExchange")
+    assert "Window" not in plan
+
+
+def test_total_order_values_match_global_sort(spark):
+    from pyspark.sql.window import Window
+
+    from xidel_spark.util import total_order
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") * 2654435761 % 100003).alias("key"), F.col("id")
+    )
+    got = total_order(df, ["key", "id"], out_col="ord")
+    ref = df.withColumn("ord", F.row_number().over(Window.orderBy("key", "id")))
+    assert got.join(ref, ["key", "id", "ord"]).count() == 5000
+
+
+def test_canonicalize_is_arrow_vectorized(spark):
+    """the frontier dedup key uses the measured-fastest engine: an
+    Arrow-batched, column-vectorized pandas UDF (never row-at-a-time
+    BatchEvalPython). The pure-Catalyst variant exists (canonicalize_expr,
+    pinned equal by test_urlnorm) but measured 2.5-9x slower."""
     from xidel_spark.queries import q_url_canonicalize
 
     plan = plan_of(q_url_canonicalize(spark, SF))
-    assert "ArrowEvalPython" in plan  # vectorized Arrow UDF, not BatchEvalPython
+    assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan

@@ -44,6 +44,89 @@ def test_resolve(ref, base, expected):
     assert resolve_one(ref, base) == expected
 
 
+CANON_BATTERY = [
+    "HTTP://Example.COM:80/a/b",
+    "https://example.com:443/",
+    "https://example.com:8443/",
+    "http://example.com/a/./b/../c?z=1&a=2#frag",
+    "http://example.com",
+    "http://example.com/a/b/..",
+    "http://example.com/../../x",
+    "http://example.com/p?",
+    "http://example.com/p?&&b=2&a=1",
+    "http://example.com/a/.",
+    "http://example.com/a/..",
+    "http://h.example.com:8080/x/../y/./z?m=3&k=1#f",
+    "ftp://Files.example.com:21/pub",
+    "mailto:someone",
+    "relative/path",
+    "http://example.com/a%20b?x=%41",
+    "http://example.com/?",
+    "http://example.com/trailing/",
+    None,
+]
+
+RESOLVE_BATTERY = [
+    ("b.xml", "http://e.com/dir/a.xml"),
+    ("/b.xml", "http://e.com/dir/a.xml"),
+    ("../up.xml", "http://e.com/d1/d2/a.xml"),
+    ("//other.com/x", "https://e.com/a"),
+    ("http://abs.com/x", "http://e.com/a"),
+    ("?q=1", "http://e.com/p/a?old=2"),
+    ("x/y/../z", "http://e.com/d/a"),
+    ("./here", "http://e.com/d/a"),
+    ("deep", "http://e.com"),
+    ("a", None),
+    (None, "http://e.com/a"),
+    ("q?x=1", "http://e.com/d/p?y=2"),
+]
+
+
+def test_canonicalize_three_engines_agree(spark):
+    """vectorized Arrow UDF (production), pure-Catalyst expression, and the
+    row-at-a-time oracle must agree byte-for-byte on the battery."""
+    from xidel_spark.urlnorm import canonicalize, canonicalize_expr
+
+    df = spark.createDataFrame([(u,) for u in CANON_BATTERY], "url string")
+    rows = df.select(
+        "url",
+        canonicalize(F.col("url")).alias("vec"),
+        canonicalize_expr(F.col("url")).alias("cat"),
+    ).collect()
+    for r in rows:
+        expect = canonicalize_one(r["url"])
+        assert r["vec"] == expect, ("vec", r["url"], r["vec"], expect)
+        assert r["cat"] == expect, ("cat", r["url"], r["cat"], expect)
+
+
+def test_resolve_three_engines_agree(spark):
+    from xidel_spark.urlnorm import resolve_url, resolve_url_expr
+
+    df = spark.createDataFrame(RESOLVE_BATTERY, "ref string, base string")
+    rows = df.select(
+        "ref", "base",
+        resolve_url(F.col("ref"), F.col("base")).alias("vec"),
+        resolve_url_expr(F.col("ref"), F.col("base")).alias("cat"),
+    ).collect()
+    for r in rows:
+        expect = resolve_one(r["ref"], r["base"])
+        assert r["vec"] == expect, ("vec", r["ref"], r["base"], r["vec"], expect)
+        assert r["cat"] == expect, ("cat", r["ref"], r["base"], r["cat"], expect)
+
+
+def test_canonicalize_engines_on_dirty_corpus(spark):
+    """full synthetic dirty-URL corpus: all engines agree row-wise."""
+    from xidel_spark.corpus import dirty_urls
+    from xidel_spark.urlnorm import canonicalize, canonicalize_expr
+
+    df = dirty_urls(spark, "/root/testdata/sf0.001")
+    bad = df.select(
+        canonicalize(F.col("raw_url")).alias("vec"),
+        canonicalize_expr(F.col("raw_url")).alias("cat"),
+    ).where("vec IS DISTINCT FROM cat")
+    assert bad.count() == 0
+
+
 def test_request_identity_post4(spark):
     # tests.sh:557-559 — same (url, body) twice → one; same url, method
     # GET vs PUT → two

@@ -77,7 +77,12 @@ def _seeds_df(spark: SparkSession, seeds: list[str] | DataFrame, dedup: bool) ->
 
 
 def _with_order(visited: DataFrame) -> DataFrame:
-    return visited.withColumn("ord", F.row_number().over(Window.orderBy("rank")))
+    """ord = global crawl-order position. Range-partitioned two-pass
+    numbering (util.total_order) — the rank string already IS the total
+    order, so no single-partition sort is ever needed."""
+    from ..util import total_order
+
+    return total_order(visited, ["rank"], out_col="ord")
 
 
 def crawl_exact(

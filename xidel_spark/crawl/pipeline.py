@@ -70,12 +70,14 @@ def run_pipeline(
                 .groupBy("url")
                 .agg(F.min("k").alias("k"))
             )
-            from pyspark.sql.window import Window
+            from ..util import total_order
 
-            nxt = nxt.join(seen_all, "url", "left_anti")
-            current = nxt.withColumn(
-                "ord", F.row_number().over(Window.orderBy("k"))
-            ).select("url", "ord")
+            nxt = nxt.join(seen_all, "url", "left_anti").select(
+                "url", F.col("k.p").alias("__p"), F.col("k.i").alias("__i")
+            )
+            current = total_order(nxt, ["__p", "__i"], out_col="ord").select(
+                "url", "ord"
+            )
             seen_all = seen_all.unionByName(current.select("url"))
     result = outputs[0]
     for o in outputs[1:]:

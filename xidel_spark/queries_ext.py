@@ -65,11 +65,14 @@ def q_frontier_priority_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = corpus.synth_docs(spark, sf_dir)
     links = extract_links(docs, "//a")
     res = crawl_exact(spark, links, corpus.synth_seeds(spark, sf_dir))
+    from .util import total_order
+
     host_id = F.regexp_extract("url", r"http://h(\d+)\.", 1).cast("int")
     prio = (host_id % 3).alias("priority")
-    w = Window.orderBy("priority", "rank")
-    return res.visited.select("url", "rank", prio).withColumn(
-        "fetch_seq", F.row_number().over(w).cast("int")
+    # global fetch sequence via range-partitioned two-pass numbering — the
+    # priority queue drains in parallel, never through one task
+    return total_order(
+        res.visited.select("url", "rank", prio), ["priority", "rank"], out_col="fetch_seq"
     )
 
 

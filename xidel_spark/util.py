@@ -2,8 +2,61 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def total_order(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "ord",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Materialize a global 1-based ordinal WITHOUT a single-partition sort.
+
+    ``Window.orderBy(...)`` with no partitionBy plans Exchange
+    SinglePartition — the whole dataset through one task, the classic
+    100×-scale killer. Instead: range-partition on the order columns (the
+    only data-wide exchange), number rows within each partition, and add
+    each partition's exclusive prefix-sum offset. Partition sizes are
+    collected to the driver — one row per PARTITION, not per data row —
+    and rebroadcast as a tiny join table, so the sort itself stays fully
+    parallel at any executor count.
+
+    The input is lazily localCheckpoint-ed first: both passes (sizes +
+    numbering) must see identical range boundaries, and RangePartitioner
+    samples are not guaranteed stable across separate executions.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cols = [F.col(c) for c in order_cols]
+    part = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .localCheckpoint(eager=False)
+    )
+    # within-partition index WITHOUT a window: monotonically_increasing_id
+    # over the checkpointed sorted partitions is (pid << 33) + row-index —
+    # a narrow projection, so the consumer plan has zero data exchanges
+    tmp = part.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__mid", F.monotonically_increasing_id()
+    )
+    stats = tmp.groupBy("__pid").agg(
+        F.min("__mid").alias("__mn"), F.count(F.lit(1)).alias("__n")
+    ).collect()
+    bases, acc = [], 0
+    for r in sorted(stats, key=lambda r: r["__pid"]):
+        # ord = acc + (mid - min_mid_of_partition) + 1 = mid + base
+        bases.append((r["__pid"], acc - r["__mn"] + 1))
+        acc += r["__n"]
+    if not bases:
+        return df.withColumn(out_col, F.lit(1).cast("int")).where(F.lit(False))
+    base_df = spark.createDataFrame(bases, "__pid int, __base long")
+    return (
+        tmp.join(F.broadcast(base_df), "__pid")
+        .withColumn(out_col, (F.col("__mid") + F.col("__base")).cast("int"))
+        .drop("__pid", "__mid", "__base")
+    )
 
 
 def qround(col: Column, digits: int = 4) -> Column:
