@@ -70,7 +70,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_filter": oracle.ROBOTS_FILTER,
         "frontier_dedup_request_tuple": oracle.FRONTIER_DEDUP_REQUEST_TUPLE,
     }
-    out.update(OPS_ORACLES)  # ann_topk_lsh intentionally absent → rows-only
+    out.update(OPS_ORACLES)
     from xidel_spark.oracle_fn import FN_ORACLES
 
     out.update(FN_ORACLES)

@@ -171,6 +171,31 @@ def dirty_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ deterministic near-duplicate twins.
+
+    The driver's embeddings are random (max pairwise cosine ≈ 0.51 at
+    sf0.01), so genuine near-dup thresholds would match nothing. Every
+    vec_id v with v % 5 == 0 gets a twin (id = v + n) whose element j is
+    scaled by (1 + 0.01·((v + j) % 3 − 1)) — cosine(e, twin) ≈ 0.9999,
+    far above any random pair. The same arithmetic is mirrored in the
+    DuckDB oracles (oracle_ext.PLANTED), so ground truth is closed-form."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    n = emb.count()
+    v = F.col("vec_id")
+    twin = F.zip_with(
+        F.col("embedding").cast("array<double>"),
+        F.sequence(F.lit(0), F.size("embedding") - 1),
+        lambda x, j: x * (1.0 + 0.01 * (((v + j) % 3).cast("double") - 1.0)),
+    )
+    twins = emb.where(v % 5 == 0).select(
+        (v + n).alias("vec_id"), twin.alias("embedding")
+    )
+    return emb.select(v.alias("vec_id"), F.col("embedding").cast("array<double>").alias("embedding")).unionByName(twins)
+
+
 def synth_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The interleaved text+media documents table (input_hint schema).
 

@@ -85,30 +85,43 @@ def srp_signature(
     bucket per hash table (OR-amplification: b bits AND-ed within a table,
     L tables OR-ed — recall 1-(1-p^b)^L). Hyperplane (t, j)'s weight for
     dimension d is a deterministic pseudo-random ± sign(xxhash64(t, j, d))
-    — computed JVM-side, no RNG state, reproducible across runs."""
-    v = F.col(vec_col).cast("array<double>")
+    — computed JVM-side, no RNG state, reproducible across runs.
 
-    def plane(t: int, j: int):
-        # closure-bound ids (see dedup_text.hasher: transform lambdas must
-        # stay single-argument or PySpark passes the array index)
-        return lambda d: F.when(
-            F.pmod(F.xxhash64(F.lit(t), F.lit(j), d), F.lit(2)) == 0, F.lit(1.0)
-        ).otherwise(F.lit(-1.0))
+    Packed single-pass form: ONE aggregate per table carries all `bits`
+    partial projections in an array accumulator (the inner 2-arg transform
+    receives the BIT INDEX as its second argument — deliberate use of the
+    index-passing lambda convention), instead of bits separate traversals
+    of the vector per table."""
+    v = F.col(vec_col).cast("array<double>")
+    pairs = F.zip_with(
+        v,
+        F.sequence(F.lit(0), F.size(v) - 1),
+        lambda x, d: F.struct(x.alias("x"), d.alias("d")),
+    )
+
+    def make_merge(t: int):
+        # closure factory: a default-arg lambda would change the visible
+        # arity and break PySpark's lambda-parameter binding
+        def merge(acc, p):
+            def upd(a, j):
+                sign = F.when(
+                    F.pmod(F.xxhash64(F.lit(t), j, p["d"]), F.lit(2)) == 0, F.lit(1.0)
+                ).otherwise(F.lit(-1.0))
+                return a + p["x"] * sign
+
+            return F.transform(acc, upd)
+
+        return merge
 
     outs = []
     for t in range(tables):
-        sig = F.lit(0)
-        for j in range(bits):
-            proj = F.aggregate(
-                F.zip_with(
-                    v,
-                    F.transform(F.sequence(F.lit(0), F.size(v) - 1), plane(t, j)),
-                    lambda x, s: x * s,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            sig = sig + F.when(proj > 0, F.lit(1 << j)).otherwise(0)
+        projs = F.aggregate(pairs, F.array_repeat(F.lit(0.0), bits), make_merge(t))
+        # pack sign bits by doubling (shiftleft needs a literal shift count)
+        sig = F.aggregate(
+            F.reverse(projs),
+            F.lit(0),
+            lambda acc, pj: acc * 2 + F.when(pj > 0, F.lit(1)).otherwise(F.lit(0)),
+        )
         outs.append(
             vectors.select(
                 F.col(id_col), F.lit(t).alias("table"), sig.cast("int").alias("bucket")

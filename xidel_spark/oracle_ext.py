@@ -156,13 +156,25 @@ SELECT o_orderkey::BIGINT AS o_orderkey,
 FROM orders
 """
 
-EMBEDDING_NEAR_DUP = """
-WITH p AS (
+# planted-twin corpus (mirror of corpus.planted_embeddings — keep in sync):
+# twin of v (v % 5 == 0) has id v + n and element j scaled by
+# (1 + 0.01*((v + j) % 3 - 1)); DuckDB lambda index is 1-based → j - 1
+PLANTED = """base AS (SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+twins AS (
+  SELECT vec_id + (SELECT count(*) FROM base) AS vec_id,
+         list_transform(e, (x, j) -> x * (1 + 0.01 * ((vec_id + j - 1) % 3 - 1))) AS e
+  FROM base WHERE vec_id % 5 = 0
+),
+planted AS (SELECT * FROM base UNION ALL SELECT * FROM twins)"""
+
+EMBEDDING_NEAR_DUP = f"""
+WITH {PLANTED},
+p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000 + 0.5) / 1000 AS sim
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         floor(list_cosine_similarity(a.e, b.e) * 1000 + 0.5) / 1000 AS sim
+  FROM planted a JOIN planted b ON a.vec_id < b.vec_id
 )
-SELECT id_a, id_b, sim FROM p WHERE sim >= 0.25
+SELECT id_a, id_b, sim FROM p WHERE sim >= 0.99
 """
 
 WINDOW_SLIDING = """

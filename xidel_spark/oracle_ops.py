@@ -114,6 +114,31 @@ ranked AS (
 SELECT * FROM ranked WHERE rnk <= 5
 """
 
+# ANN recall@1 on the planted-twin corpus: the exact top-1 (the twin) is
+# what the LSH path must retrieve — this verifies its ranking without
+# needing xxhash64 in SQL (see queries_ops.q_ann_topk_lsh)
+ANN_TOPK_LSH = """
+WITH base AS (SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+twins AS (
+  SELECT vec_id + (SELECT count(*) FROM base) AS vec_id,
+         list_transform(e, (x, j) -> x * (1 + 0.01 * ((vec_id + j - 1) % 3 - 1))) AS e
+  FROM base WHERE vec_id % 5 = 0
+),
+planted AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+q AS (SELECT vec_id AS query_id, e AS qv FROM planted WHERE vec_id % 5 = 0 AND vec_id < 80),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         floor(list_cosine_similarity(q.qv, c.e) * 1000 + 0.5) / 1000 AS sim
+  FROM q JOIN planted c ON c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
+  FROM scored
+)
+SELECT * FROM ranked WHERE rnk <= 1
+"""
+
 _STOP = {
     "de": r"\b(der|die|das|und|ist|nicht|ein|zu)\b",
     "en": r"\b(the|and|of|to|is|in|that|it)\b",
@@ -176,6 +201,7 @@ OPS_ORACLES = {
     "ngram_jaccard": NGRAM_JACCARD,
     "dedup_simhash": DEDUP_SIMHASH,
     "ann_cosine_topk": ANN_COSINE_TOPK,
+    "ann_topk_lsh": ANN_TOPK_LSH,
     "lang_id": LANG_ID,
     "quality_score": QUALITY_SCORE,
     "token_stats": TOKEN_STATS,

