@@ -129,6 +129,55 @@ def run(spark) -> dict:
     ann_topk_lsh(emb.where(F.col("vec_id") < 64), emb, k=5, bits=8, tables=4).count()
     timings["ann_topk_lsh"] = time.time() - t0
 
+    # q7: bloom-prefiltered dedup in the mature-crawl regime (|seen| >>
+    # per-wave candidates: 20M seen, 50k candidates, 5% dups). Steady-state
+    # per-wave cost = probe (the resident partitioned filter; candidates'
+    # probe rows are the only shuffle) + 1/N of the batched exact
+    # adjudication of the maybes (false drops stay impossible — maybes are
+    # exactly checked, just every N waves). The exact anti-join reshuffles
+    # the full seen side every wave. Filter build is one-off (reported).
+    import xidel_spark.crawl.bloom as bl
+    from xidel_spark.crawl.bloom import build_bloom, flag_candidates
+
+    n_seen = min(20_000_000, n_nodes * 20)
+    useen = lambda c: F.format_string("http://s%04d.example.com/d/%d", (c % 4096).cast("long"), c.cast("long"))  # noqa: E731
+    seen_big = spark.range(n_seen).select(useen(F.col("id")).alias("url")).localCheckpoint(eager=True)
+    cand = spark.range(50_000).select(
+        F.when(F.col("id") % 20 == 0, useen(F.col("id") * 399))  # 5% dups
+        .otherwise(useen(F.col("id") + n_seen))
+        .alias("url")
+    ).localCheckpoint(eager=True)
+    t0 = time.time()
+    exact_dups = cand.count() - cand.join(seen_big, "url", "left_anti").count()
+    t_exact = time.time() - t0
+    t0 = time.time()
+    bloom = build_bloom(seen_big, capacity=2 * n_seen, n_shards=64, partitioned_cache=True)
+    t_build = time.time() - t0
+    old_thresh = bl.BROADCAST_MAX_BITS
+    bl.BROADCAST_MAX_BITS = 0  # resident partitioned filter → distributed probe
+    try:
+        t0 = time.time()
+        flagged = flag_candidates(cand, bloom).localCheckpoint(eager=True)
+        n_maybe = flagged.where(F.col("__maybe")).count()
+        t_probe = time.time() - t0
+        t0 = time.time()
+        bloom_dups = n_maybe - flagged.where(F.col("__maybe")).select("url").join(
+            seen_big, "url", "left_anti"
+        ).count()
+        t_adjudicate = time.time() - t0
+    finally:
+        bl.BROADCAST_MAX_BITS = old_thresh
+    assert bloom_dups == exact_dups, (bloom_dups, exact_dups)  # no false drops
+    amortize_waves = 5
+    timings["dedup_bloom_probe"] = t_probe
+    extras["bloom_exact_antijoin_sec"] = round(t_exact, 2)
+    extras["bloom_adjudicate_sec"] = round(t_adjudicate, 2)
+    extras["bloom_build_sec"] = round(t_build, 2)
+    extras["bloom_speedup_vs_exact"] = round(
+        t_exact / (t_probe + t_adjudicate / amortize_waves), 2
+    )
+    extras["bloom_false_positives"] = n_maybe - bloom_dups
+
     return timings | {"extras": extras}
 
 
@@ -152,6 +201,9 @@ def main() -> None:
         "bench_nodes": extras["frontier_seen"],
         "frontier_urls_per_sec": extras["frontier_urls_per_sec"],
         "frontier_waves": extras["frontier_waves"],
+        "bloom_speedup_vs_exact": extras["bloom_speedup_vs_exact"],
+        "bloom_exact_antijoin_sec": extras["bloom_exact_antijoin_sec"],
+        "bloom_build_sec": extras["bloom_build_sec"],
     }
     print(json.dumps(line))
     spark.stop()

@@ -27,7 +27,7 @@ SEEDS = ["http://h0.test/p/0", "http://h1.test/p/1"]
 
 def test_bloom_no_false_negatives(spark):
     seen = spark.createDataFrame([(f"u{i}",) for i in range(500)], "url string")
-    bloom = build_bloom(seen, n_shards=4, capacity_per_shard=1000)
+    bloom = build_bloom(seen, n_shards=4, capacity=4000)
     cands = spark.createDataFrame(
         [(f"u{i}",) for i in range(400, 900)], "url string"
     )  # 100 seen + 400 new
@@ -39,6 +39,46 @@ def test_bloom_no_false_negatives(spark):
     assert len(new_urls) > 300
     # split is a partition of the candidates
     assert definitely_new.count() + maybe.count() == 500
+
+
+def test_bloom_merge_and_distributed_probe(spark):
+    """incremental OR-merge keeps the no-false-drop guarantee, and the
+    DISTRIBUTED (non-broadcast) probe path gives identical verdicts."""
+    import xidel_spark.crawl.bloom as bl
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(300)], "url string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(300)], "url string")
+    bloom = build_bloom(a, n_shards=4, capacity=4000).merge(
+        build_bloom(b, n_shards=4, capacity=4000, eager=False)
+    )
+    cands = spark.createDataFrame(
+        [(f"a{i}",) for i in range(0, 300, 3)]
+        + [(f"b{i}",) for i in range(0, 300, 3)]
+        + [(f"c{i}",) for i in range(200)],
+        "url string",
+    )
+    new_b, maybe_b = split_candidates(cands, bloom)
+    seen_new_b = {r["url"] for r in new_b.collect()}
+    assert not any(u[0] in "ab" for u in seen_new_b)
+    # force the shuffle-join probe path and compare verdicts exactly
+    old = bl.BROADCAST_MAX_BITS
+    bl.BROADCAST_MAX_BITS = 0
+    try:
+        new_d, maybe_d = split_candidates(cands, bloom)
+        assert seen_new_b == {r["url"] for r in new_d.collect()}
+        assert {r["url"] for r in maybe_b.collect()} == {r["url"] for r in maybe_d.collect()}
+    finally:
+        bl.BROADCAST_MAX_BITS = old
+
+
+def test_bloom_never_driver_resident(spark):
+    """the word table must stay a DataFrame (the 10^10 shape): building a
+    filter over many urls must not collect anything to the driver."""
+    seen = spark.range(0, 50_000).select(F.format_string("http://x/%d", "id").alias("url"))
+    bloom = build_bloom(seen, capacity=200_000, n_shards=8)
+    # word rows live in the cluster; only the tiny row count comes back
+    assert bloom.df.count() > 0
+    assert not hasattr(bloom, "blocks")
 
 
 def test_crawler_matches_engine_seen(spark, cyclic_links):

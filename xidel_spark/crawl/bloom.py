@@ -1,4 +1,4 @@
-"""Partitioned blocked-Bloom URL-seen filter.
+"""Partitioned blocked-Bloom URL-seen filter — DataFrame-native.
 
 The reference's seen set is an O(n)-scan list (containsEqual,
 xidelbase.pas:1537-1544) — fine for a CLI, hopeless at 10^10 URLs. The
@@ -6,113 +6,215 @@ north rule replaces it with a sharded Bloom filter in front of the exact
 seen table:
 
 - the EXACT `seen` table remains ground truth (no false drops, ever);
-- the Bloom filter is a pre-filter that lets definitely-new candidates skip
-  the expensive anti-join shuffle: only "maybe seen" candidates (a small
+- the Bloom filter is a pre-filter that lets definitely-new candidates
+  skip the expensive anti-join: only "maybe seen" candidates (a small
   fraction once the crawl matures) are exactly checked.
 
-Sharding: urls are assigned to shards by xxhash64 (JVM-side column); each
-shard's bit block is built by a vectorized Arrow `applyInPandas` (numpy
-bit ops, no per-row Python). Shard blocks are small enough to broadcast at
-test scale; at 10^10 capacity (~14 GiB at 1% FPR) the shard map lives as
-binary blobs in the checkpoint store and each executor loads only the
-shards its partition needs — the shard id IS the partition key.
+Representation: a DataFrame of 64-bit words — (shard, widx, word) — NEVER
+collected to the driver (the round-1 design materialized every shard block
+driver-side and re-broadcast per wave; at the 10^10 target that is ~15 GiB
+through one process). Build is one `bit_or` groupBy (map-side combined);
+merge is union + re-aggregate over BLOOM rows (bounded by m/64, not by
+|seen|); probing joins candidates' k probe words against the word table —
+broadcast when the filter is small enough, a (shard, widx) shuffle join
+otherwise, so the filter scales with executors like any other table.
 
-Double hashing (Kirsch–Mitzenmacher): position_i = h1 + i*h2 (mod m bits),
-with h1/h2 derived from independent-seed xxhash64 columns.
+Sizing: callers pass the OBSERVED seen count (the crawler tracks exact
+per-wave enqueued counts); bits = -n·ln(fpp)/ln²2, k = m/n·ln2
+(FrontierCrawler rebuilds at 4x when the count outgrows capacity).
+
+Double hashing (Kirsch–Mitzenmacher): position_i = h1 + i·h2 (mod m bits)
+with h1/h2 independent-seed xxhash64 columns — all JVM-side.
 """
 
 from __future__ import annotations
 
 import math
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+from ..util import checkpoint_reset_stats
 
 _H1_SEED = 0x9E3779B9
 _H2_SEED = 0x85EBCA6B
 
-
-def _hash_cols(url_col):
-    return (
-        F.xxhash64(url_col, F.lit(_H1_SEED)).alias("__h1"),
-        F.xxhash64(url_col, F.lit(_H2_SEED)).alias("__h2"),
-    )
+# filters up to this many total bits take the broadcast probe path
+BROADCAST_MAX_BITS = 1 << 28  # 32 MiB of words
 
 
 def _params(capacity: int, fpp: float) -> tuple[int, int]:
     m_bits = max(64, int(-capacity * math.log(fpp) / (math.log(2) ** 2)))
     k = max(1, round(m_bits / capacity * math.log(2)))
-    return m_bits, k
+    return m_bits, min(k, 12)
 
 
 class ShardedBloom:
-    def __init__(self, n_shards: int, m_bits_per_shard: int, k: int, blocks: dict[int, bytes]):
+    """(shard, widx, word) DataFrame + hash parameters."""
+
+    def __init__(
+        self, df: DataFrame, n_shards: int, m_bits_per_shard: int, k: int, capacity: int
+    ):
+        self.df = df
         self.n_shards = n_shards
         self.m_bits = m_bits_per_shard
         self.k = k
-        self.blocks = blocks
+        self.capacity = capacity
 
-    def to_rows(self) -> list[tuple[int, bytes]]:
-        return sorted(self.blocks.items())
+    @property
+    def total_bits(self) -> int:
+        return self.m_bits * self.n_shards
 
-    def merge(self, other: "ShardedBloom") -> "ShardedBloom":
-        """OR-merge bit blocks (incremental build: per wave only the NEW
-        urls are hashed; prior state is reused — O(increment), not O(seen))."""
-        assert (self.n_shards, self.m_bits, self.k) == (other.n_shards, other.m_bits, other.k)
-        blocks = dict(self.blocks)
-        for s, b in other.blocks.items():
-            if s in blocks:
-                blocks[s] = (
-                    np.frombuffer(blocks[s], dtype=np.uint8)
-                    | np.frombuffer(b, dtype=np.uint8)
-                ).tobytes()
-            else:
-                blocks[s] = b
-        return ShardedBloom(self.n_shards, self.m_bits, self.k, blocks)
+    def merge(self, other: "ShardedBloom", *, eager: bool = True) -> "ShardedBloom":
+        """OR-merge word tables (incremental build: per wave only the NEW
+        urls are hashed; cost is bounded by filter size, not |seen|)."""
+        assert (self.n_shards, self.m_bits, self.k) == (
+            other.n_shards, other.m_bits, other.k,
+        ), "bloom parameter mismatch"
+        merged = checkpoint_reset_stats(
+            self.df.unionByName(other.df)
+            .groupBy("shard", "widx")
+            .agg(F.bit_or("word").alias("word")),
+            eager=eager,
+        )
+        return ShardedBloom(merged, self.n_shards, self.m_bits, self.k, self.capacity)
 
-    @classmethod
-    def from_rows(cls, n_shards: int, m_bits: int, k: int, rows) -> "ShardedBloom":
-        return cls(n_shards, m_bits, k, {int(s): bytes(b) for s, b in rows})
+    def unpersist(self) -> None:
+        self.df.unpersist()
+
+
+def _probe_words(url_col, m_bits: int, k: int, n_shards: int):
+    """(shard, array<struct<widx, mask>>) probe positions for a url."""
+    # reduce mod m BEFORE combining: raw xxhash64 sums overflow ANSI longs;
+    # i*h2m + h1m stays < (k+1)*m, far inside long range at any capacity
+    h1 = F.pmod(F.xxhash64(url_col, F.lit(_H1_SEED)), F.lit(m_bits))
+    h2 = F.pmod(F.xxhash64(url_col, F.lit(_H2_SEED)), F.lit(m_bits)).bitwiseOR(F.lit(1))
+    shard = F.pmod(F.xxhash64(url_col), F.lit(n_shards)).cast("int")
+    probes = F.array(
+        *[
+            F.struct(
+                F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)).alias("bit"),
+            )
+            for i in range(k)
+        ]
+    )
+    return shard, probes
 
 
 def build_bloom(
     seen: DataFrame,
     url_col: str = "url",
     *,
-    capacity_per_shard: int = 1_000_000,
+    capacity: int = 1_000_000,
     fpp: float = 0.01,
     n_shards: int = 16,
+    eager: bool = True,
+    partitioned_cache: bool = False,
 ) -> ShardedBloom:
-    """Aggregate the seen table into per-shard bit blocks (one Arrow batch
-    per shard, numpy-vectorized)."""
-    m_bits, k = _params(capacity_per_shard, fpp)
-    m_bytes = (m_bits + 7) // 8
-    hashed = seen.select(
-        F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_shards)).alias("shard"),
-        *_hash_cols(F.col(url_col)),
-    )
-    out_schema = StructType(
-        [StructField("shard", LongType()), StructField("block", BinaryType())]
-    )
+    """seen urls → word table via explode + bit_or groupBy (one shuffle of
+    k small rows per url with map-side combine; nothing driver-side).
 
-    def make_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        bits = np.zeros(m_bytes, dtype=np.uint8)
-        h1 = pdf["__h1"].to_numpy(dtype=np.uint64)
-        h2 = pdf["__h2"].to_numpy(dtype=np.uint64) | np.uint64(1)
+    partitioned_cache=True persists the word table hash-partitioned on
+    (shard, widx): the distributed probe join then reshuffles only the
+    candidates' probe rows, never the filter — the right resident form for
+    a long-lived filter probed every wave. The default (checkpoint) form
+    is for the incremental-merge chain, whose per-wave re-aggregation
+    wants the cheap block representation."""
+    m_bits, k = _params(max(1, capacity) // n_shards + 1, fpp)
+    shard, probes = _probe_words(F.col(url_col), m_bits, k, n_shards)
+    bits = seen.select(shard.alias("shard"), F.explode(probes).alias("p")).select(
+        "shard",
+        (F.col("p.bit") / 64).cast("long").alias("widx"),
+        F.expr("shiftleft(1L, CAST(p.bit % 64 AS INT))").alias("word"),
+    )
+    agg = bits.groupBy("shard", "widx").agg(F.bit_or("word").alias("word"))
+    if partitioned_cache:
+        df = agg.repartition(max(n_shards, 32), "shard", "widx").persist()
+        df.count()
+    else:
+        df = checkpoint_reset_stats(agg, eager=eager)
+    return ShardedBloom(df, n_shards, m_bits, k, capacity)
+
+
+def flag_candidates(
+    candidates: DataFrame, bloom: ShardedBloom, url_col: str = "url"
+) -> DataFrame:
+    """candidates + a `__maybe` boolean.
+
+    Broadcast regime (filter ≤ BROADCAST_MAX_BITS): k chained broadcast
+    hash lookups — one codegen stage, no explode, no groupBy, no re-join
+    of the candidate payload; the word table's broadcast exchange is built
+    once and reused across the k joins. Large-filter regime: explode the k
+    probes, shuffle-join by (shard, widx), AND per url — the word table
+    scales out like any other table."""
+    k, m_bits, n_shards = bloom.k, bloom.m_bits, bloom.n_shards
+    shard, probes = _probe_words(F.col(url_col), m_bits, k, n_shards)
+    if bloom.total_bits <= BROADCAST_MAX_BITS:
+        ann = candidates.select(
+            "*",
+            shard.alias("__shard"),
+            *[F.element_at(probes, i + 1)["bit"].alias(f"__b{i}") for i in range(k)],
+        )
+        ann = ann.select(
+            "*",
+            *[(F.col(f"__b{i}") / 64).cast("long").alias(f"__w{i}") for i in range(k)],
+            *[
+                F.expr(f"shiftleft(1L, CAST(__b{i} % 64 AS INT))").alias(f"__m{i}")
+                for i in range(k)
+            ],
+        )
+        cur = ann
+        conds = []
         for i in range(k):
-            pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
-            np.bitwise_or.at(bits, (pos // 8).astype(np.int64), (1 << (pos % 8)).astype(np.uint8))
-        return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])], "block": [bits.tobytes()]})
-
-    rows = (
-        hashed.groupBy("shard")
-        .applyInPandas(make_block, schema=out_schema)
-        .collect()
+            # identical projection every join → ONE broadcast exchange,
+            # reused k times (per-join aliasing would rebuild the ~100s-MB
+            # hash relation k times over)
+            w = bloom.df.alias(f"__bl{i}")
+            cur = (
+                cur.join(
+                    F.broadcast(w),
+                    (cur["__shard"] == F.col(f"__bl{i}.shard"))
+                    & (cur[f"__w{i}"] == F.col(f"__bl{i}.widx")),
+                    "left",
+                )
+                .withColumnRenamed("word", f"__word{i}")
+                .drop("shard", "widx")
+            )
+            conds.append(
+                F.col(f"__word{i}").isNotNull()
+                & (F.col(f"__word{i}").bitwiseAND(F.col(f"__m{i}")) == F.col(f"__m{i}"))
+            )
+        maybe = conds[0]
+        for c in conds[1:]:
+            maybe = maybe & c
+        drop = (
+            ["__shard"]
+            + [f"__b{i}" for i in range(k)]
+            + [f"__w{i}" for i in range(k)]
+            + [f"__m{i}" for i in range(k)]
+            + [f"__word{i}" for i in range(k)]
+        )
+        return cur.withColumn("__maybe", maybe).drop(*drop)
+    probe_rows = candidates.select(
+        F.col(url_col).alias("__u"), shard.alias("shard"), F.explode(probes).alias("p")
+    ).select(
+        "__u",
+        "shard",
+        (F.col("p.bit") / 64).cast("long").alias("widx"),
+        F.expr("shiftleft(1L, CAST(p.bit % 64 AS INT))").alias("mask"),
     )
-    return ShardedBloom(n_shards, m_bits, k, {r["shard"]: bytes(r["block"]) for r in rows})
+    joined = probe_rows.join(bloom.df, ["shard", "widx"], "left")
+    hit = (F.col("word").isNotNull()) & (
+        F.col("word").bitwiseAND(F.col("mask")) == F.col("mask")
+    )
+    verdict = (
+        joined.select("__u", hit.alias("__hit"))
+        .groupBy("__u")
+        .agg(F.min("__hit").alias("__maybe"))  # AND over the k probes
+    )
+    return candidates.join(
+        verdict, candidates[url_col] == verdict["__u"], "left"
+    ).drop("__u")
 
 
 def split_candidates(
@@ -120,42 +222,10 @@ def split_candidates(
 ) -> tuple[DataFrame, DataFrame]:
     """(definitely_new, maybe_seen): definitely_new skips the exact
     anti-join entirely; maybe_seen still gets the exact check (the Bloom
-    can never cause a false drop)."""
-    spark = candidates.sparkSession
-    blocks_b = spark.sparkContext.broadcast(
-        {s: np.frombuffer(b, dtype=np.uint8) for s, b in bloom.blocks.items()}
-    )
-    m_bits, k, n_shards = bloom.m_bits, bloom.k, bloom.n_shards
-
-    # hashes computed JVM-side; membership test is pure numpy over the batch
-    @F.pandas_udf("boolean")
-    def member(shard: pd.Series, h1: pd.Series, h2: pd.Series) -> pd.Series:
-        blocks = blocks_b.value
-        sh = shard.to_numpy(dtype=np.int64)
-        a = h1.to_numpy(dtype=np.uint64)
-        b = h2.to_numpy(dtype=np.uint64) | np.uint64(1)
-        out = np.ones(len(sh), dtype=bool)
-        for i in range(k):
-            pos = (a + np.uint64(i) * b) % np.uint64(m_bits)
-            byte_idx = (pos // 8).astype(np.int64)
-            bit = (1 << (pos % 8)).astype(np.uint8)
-            hit = np.zeros(len(sh), dtype=bool)
-            for s in np.unique(sh):
-                blk = blocks.get(int(s))
-                mask = sh == s
-                if blk is None:
-                    continue
-                hit[mask] = (blk[byte_idx[mask]] & bit[mask]) != 0
-            out &= hit
-        return pd.Series(out)
-
-    annotated = candidates.withColumn(
-        "__shard", F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_shards))
-    ).select("*", *_hash_cols(F.col(url_col)))
-    flagged = annotated.withColumn(
-        "__maybe", member(F.col("__shard"), F.col("__h1"), F.col("__h2"))
-    )
-    drop = ["__shard", "__h1", "__h2", "__maybe"]
-    definitely_new = flagged.where(~F.col("__maybe")).drop(*drop)
-    maybe_seen = flagged.where(F.col("__maybe")).drop(*drop)
+    can never cause a false drop — a missing word row reads as a miss,
+    which errs toward 'new', and a false positive errs toward the exact
+    check)."""
+    flagged = flag_candidates(candidates, bloom, url_col)
+    definitely_new = flagged.where(~F.col("__maybe")).drop("__maybe")
+    maybe_seen = flagged.where(F.col("__maybe")).drop("__maybe")
     return definitely_new, maybe_seen

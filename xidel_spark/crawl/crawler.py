@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..urlnorm import host_of
+from ..util import checkpoint_reset_stats
 from .bloom import build_bloom, split_candidates
 from .bucketed import BucketedTable
 from .checkpoint import CrawlStateStore
@@ -137,7 +138,7 @@ class FrontierCrawler:
                 frontier = politeness_schedule(frontier, wait_ms=self.wait_ms)
             else:
                 frontier = frontier.withColumn("host", host_of(F.col("url")))
-            frontier = frontier.repartition(F.col("host")).localCheckpoint(eager=True)
+            frontier = checkpoint_reset_stats(frontier.repartition(F.col("host")))
             seen = frontier.select("url")
             if seen_table is not None:
                 seen_table.overwrite(frontier.select("url"))
@@ -155,12 +156,6 @@ class FrontierCrawler:
             start_wave = 1
 
         bloom = None
-        if self.use_bloom and snap is not None:
-            # resume: the filter must over-approximate the FULL seen set
-            # (a bloom miss skips the exact check — false drops forbidden)
-            bloom = build_bloom(
-                seen, n_shards=self.bloom_shards, capacity_per_shard=262_144
-            )
         wave = start_wave
         last_fresh = metrics[-1]["enqueued"] if metrics else None
         while wave < max_waves and wave <= self.max_depth:
@@ -185,14 +180,32 @@ class FrontierCrawler:
             cand, robots_blocked = self._filter_robots(cand)
             if self.use_bloom:
                 # Bloom pre-filter: definitely-new candidates skip the
-                # exact join; only maybe-seen get the flag lookup. The
-                # filter is built INCREMENTALLY: only the previous wave's
-                # fresh urls are hashed, then OR-merged into the jar.
-                inc = build_bloom(
-                    frontier.select("url"), n_shards=self.bloom_shards,
-                    capacity_per_shard=262_144,
-                )
-                bloom = inc if bloom is None else bloom.merge(inc)
+                # exact join; only maybe-seen get the flag lookup. Sized
+                # from the OBSERVED seen count (exact, from wave metrics);
+                # rebuilt at 4x when the count outgrows capacity, otherwise
+                # extended INCREMENTALLY: only the previous wave's fresh
+                # urls are hashed and OR-merged — O(increment + filter),
+                # never O(seen).
+                seen_count = sum(m["enqueued"] for m in metrics)
+                if bloom is None or seen_count > 0.7 * bloom.capacity:
+                    old = bloom
+                    bloom = build_bloom(
+                        seen,
+                        capacity=max(1_000_000, 4 * seen_count),
+                        n_shards=self.bloom_shards,
+                    )
+                    if old is not None:
+                        old.unpersist()
+                else:
+                    inc = build_bloom(
+                        frontier.select("url"),
+                        capacity=bloom.capacity,
+                        n_shards=self.bloom_shards,
+                        eager=False,
+                    )
+                    old = bloom
+                    bloom = bloom.merge(inc)
+                    old.unpersist()
                 definitely_new, maybe = split_candidates(cand, bloom)
                 joined = definitely_new.withColumn(
                     "__seen", F.lit(None).cast("boolean")
@@ -246,8 +259,10 @@ class FrontierCrawler:
                 frontier = frontier.repartition(F.col("host"))
             # slim dedicated checkpoint: what stays alive across waves is
             # only (url, rank, depth, host) per increment — the seen union
-            # reads these; the wide per-wave join output is released now
-            frontier = frontier.localCheckpoint(eager=True)
+            # reads these; the wide per-wave join output is released now.
+            # Stats are RESET here: the bloom probe's 8 joins would compound
+            # sizeInBytes estimates 8x per wave otherwise (see util)
+            frontier = checkpoint_reset_stats(frontier)
             joined.unpersist()
             if self.wait_ms > 0:
                 from .politeness import host_watermark

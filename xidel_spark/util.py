@@ -59,6 +59,29 @@ def total_order(
     )
 
 
+def checkpoint_reset_stats(df: DataFrame, eager: bool = True) -> DataFrame:
+    """localCheckpoint that does NOT carry the origin plan's statistics.
+
+    Spark's LogicalRDD preserves the originating plan's sizeInBytes, and
+    join size estimates are PRODUCTS — in an iterative loop the estimate's
+    BigInteger doubles its bit-length per join, so a wave loop with a
+    multi-join stage (the bloom probe has 8) grows an 8^waves-bit number
+    and Catalyst ends up burning minutes in BigInteger.multiply
+    (Karatsuba/ToomCook frames on the py4j thread; measured wave times
+    1.5s → 8s → 135s). Rebuilding the DataFrame from the checkpointed
+    internal RDD resets stats to the session default and keeps every wave's
+    estimate bounded. Trade-off: the reset side loses auto-broadcast
+    eligibility — all loop joins here use explicit broadcast hints anyway.
+    """
+    ck = df.localCheckpoint(eager=eager)
+    spark = df.sparkSession
+    jdf = ck._jdf
+    new_jdf = spark._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False
+    )
+    return DataFrame(new_jdf, spark)
+
+
 def qround(col: Column, digits: int = 4) -> Column:
     """Deterministic cross-engine quantization: floor(x*10^d + 0.5)/10^d.
 
