@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     from xidel_spark.queries_ext import EXT_QUERIES
 
+    from xidel_spark.queries_json import JSON_QUERIES
     from xidel_spark.queries_sel import SEL_QUERIES
 
     out.update(CRAWL_QUERIES)
@@ -53,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(FN_QUERIES)
     out.update(EXT_QUERIES)
     out.update(SEL_QUERIES)
+    out.update(JSON_QUERIES)
     return out
 
 
@@ -80,4 +82,7 @@ def oracle_sql() -> dict[str, str]:
     from xidel_spark.oracle_sel import SEL_ORACLES
 
     out.update(SEL_ORACLES)
+    from xidel_spark.oracle_json import JSON_ORACLES
+
+    out.update(JSON_ORACLES)
     return out
