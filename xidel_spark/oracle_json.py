@@ -66,7 +66,34 @@ SELECT d AS doc_id,
 FROM v
 """
 
+# roman numerals 1..30 as a ground-truth table (format-integer 'i')
+_ROMANS = ("i ii iii iv v vi vii viii ix x xi xii xiii xiv xv xvi xvii xviii "
+           "xix xx xxi xxii xxiii xxiv xxv xxvi xxvii xxviii xxix xxx").split()
+_ROMAN_LIST = "[" + ", ".join(f"'{r}'" for r in _ROMANS) + "]"
+
+QUANTIFIED_CONDITIONAL = f"""
+WITH ids AS (SELECT doc_id::BIGINT AS d FROM documents)
+SELECT d AS doc_id,
+  -- seq = [i * (d%3) for i in 1..1+d%5]; some x > 3
+  ((d % 3) > 0 AND (1 + d % 5) * (d % 3) > 3) AS some_gt3,
+  true AS every_nonneg,
+  CASE WHEN d % 2 = 0 THEN 'even' ELSE 'odd' END AS cond,
+  CASE WHEN d % 3 = 0 THEN 'a' WHEN d % 5 = 0 THEN 'b' ELSE 'z' END AS oth,
+  format('{{:,}}', d * 37) || '.' || lpad(CAST(d % 90 AS VARCHAR), 2, '0') AS fmt_num,
+  lpad(CAST(1 + d % 600 AS VARCHAR), 3, '0') AS fmt_pad,
+  {_ROMAN_LIST}[(d % 30)::INT + 1] AS roman,
+  (CASE WHEN 1 + d % 100 > 26 THEN chr(96 + ((d % 100)::INT // 26)) ELSE '' END)
+    || chr(97 + (d % 100)::INT % 26) AS alpha,
+  CAST(floor(epoch(make_timestamp(2000 + d % 25, (d % 12)::INT + 1, (1 + d % 28)::INT,
+                                  (d % 24)::INT, (d % 60)::INT, (d % 57)::DOUBLE))) AS BIGINT) AS ietf_epoch,
+  strftime(make_timestamp(2000 + d % 25, (d % 12)::INT + 1, (1 + d % 28)::INT,
+                          (d % 24)::INT, (d % 60)::INT, (d % 57)::DOUBLE)
+           + INTERVAL 2 HOUR, '%Y-%m-%dT%H:%M:%S') || '+02:00' AS adjusted
+FROM ids
+"""
+
 JSON_ORACLES = {
     "json_modes": JSON_MODES,
     "map_array_functions": MAP_ARRAY_FUNCTIONS,
+    "quantified_conditional": QUANTIFIED_CONDITIONAL,
 }

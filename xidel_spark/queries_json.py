@@ -100,7 +100,56 @@ def q_map_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantified_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """some/every quantifiers, if/then/else, the xidel `otherwise` operator
+    (changelog:5-6), fn:format-number/-integer pictures, timezone
+    adjustment and pxp:parse-ietf-date — the VERDICT-flagged fn: batch,
+    all pure Catalyst over synthesized per-doc values."""
+    from .functions import quantified as q
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = corpus.base_docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("d"))
+    d = F.col("d")
+    seq = F.transform(
+        F.sequence(F.lit(1), (1 + d % 5).cast("int")), lambda i: i * (d % 3).cast("int")
+    )
+    v1 = F.when(d % 3 == 0, F.lit("a"))
+    v2 = F.when(d % 5 == 0, F.lit("b"))
+    money = (d * 37).cast("double") + (d % 90).cast("double") / 100.0
+    months = F.array(*[F.lit(m) for m in
+                       "Jan Feb Mar Apr May Jun Jul Aug Sep Oct Nov Dec".split()])
+    mon = F.element_at(months, (d % 12 + 1).cast("int"))
+    day, year = (1 + d % 28).cast("int"), (2000 + d % 25).cast("int")
+    hh, mi, ss = (d % 24).cast("int"), (d % 60).cast("int"), (d % 57).cast("int")
+    ietf = (
+        F.when(d % 3 == 0, F.concat(
+            F.format_string("Tue, %02d ", day), mon,
+            F.format_string(" %04d %02d:%02d:%02d GMT", year, hh, mi, ss)))
+        .when(d % 3 == 1, F.concat(
+            F.format_string("Tuesday, %02d-", day), mon,
+            F.format_string("-%02d %02d:%02d:%02d GMT", year - 2000, hh, mi, ss)))
+        .otherwise(F.concat(
+            F.lit("Tue "), mon,
+            F.format_string(" %d %02d:%02d:%02d %04d", day, hh, mi, ss, year)))
+    )
+    ts = F.make_timestamp(year, (d % 12 + 1).cast("int"), day, hh, mi, ss.cast("double"))
+    return base.select(
+        d.alias("doc_id"),
+        q.some(seq, lambda x: x > 3).alias("some_gt3"),
+        q.every(seq, lambda x: x >= 0).alias("every_nonneg"),
+        q.if_then_else(d % 2 == 0, F.lit("even"), F.lit("odd")).alias("cond"),
+        q.otherwise(v1, v2, F.lit("z")).alias("oth"),
+        q.format_number(money, "#,##0.00").alias("fmt_num"),
+        q.format_integer((1 + d % 600).cast("int"), "000").alias("fmt_pad"),
+        q.format_integer((1 + d % 30).cast("int"), "i").alias("roman"),
+        q.format_integer((1 + d % 100).cast("int"), "a").alias("alpha"),
+        F.unix_timestamp(q.parse_ietf_date(ietf)).alias("ietf_epoch"),
+        q.adjust_datetime_string(ts, "+02:00").alias("adjusted"),
+    )
+
+
 JSON_QUERIES = {
     "json_modes": q_json_modes,
     "map_array_functions": q_map_array_functions,
+    "quantified_conditional": q_quantified_conditional,
 }
