@@ -49,11 +49,24 @@ def test_if_and_call(runner):
     assert state.get("note") is None
 
 
-def test_missing_page_is_skipped(runner):
+def test_missing_page_raises_catchable_http_error(runner):
+    """a failed fetch is an http error (multipageTryHttp semantics): it
+    aborts the action unless caught by <try>/<catch>."""
+    import pytest as _pytest
+
+    from xidel_spark.extract.multipage import MultipageError
+
     r = runner()
-    spec = {"actions": {"main": [{"page": "ghost.xml", "extract": [TITLE]},
+    bare = {"actions": {"main": [{"page": "ghost.xml", "extract": [TITLE]},
                                  {"page": "b1.xml", "extract": [TITLE]}]}}
-    state = r.run(spec)
+    with _pytest.raises(MultipageError):
+        r.run(bare)
+    guarded = {"actions": {"main": [
+        {"try": [{"page": "ghost.xml", "extract": [TITLE]}],
+         "catch": [{"errors": "http:*", "do": []}]},
+        {"page": "b1.xml", "extract": [TITLE]},
+    ]}}
+    state = runner().run(guarded)
     assert state.get_all("title") == ["B1"]
 
 
@@ -69,3 +82,82 @@ def test_interpolation_uses_latest_assignment(runner):
         }
     }
     assert r.run(spec).get("title") == "BBB"
+
+
+def _bad_int(name="x"):
+    """int('f') analogue: a cast that raises err:FORG0001."""
+    return {"variable": {"name": "_tmp", "value": "f", "cast": "int"}}
+
+
+def test_try_catch_error_matrix_matches_multipage_try_golden(runner):
+    """tests/tests.sh:110-118 (golden tests/output/multipageTry = 8):
+    eight try/catch blocks, each catching the err:FORG0001 exactly once."""
+    r = runner()
+    inc = {"inc": "x"}
+    spec = {"actions": {"main": [
+        {"try": [_bad_int()], "catch": [{"errors": "err:FORG0001",
+                                         "do": [{"variable": {"name": "x", "value": "1"}}]}]},
+        {"try": [_bad_int()], "catch": [{"errors": "x y z err:FORG0001", "do": [inc]}]},
+        {"try": [_bad_int()], "catch": [{"errors": "", "do": [inc, inc]},
+                                        {"errors": "*:FORG0001", "do": [inc]}]},
+        {"try": [_bad_int()], "catch": [{"errors": "pxp:FORG0001", "do": [inc, inc]},
+                                        {"errors": "*", "do": [inc]}]},
+        {"try": [_bad_int()], "catch": [{"errors": "foo bar", "do": [inc, inc]},
+                                        {"errors": "*:*", "do": [inc]}]},
+        {"try": [_bad_int()], "catch": [{"errors": "FORG0001", "do": [inc, inc]},
+                                        {"errors": "err:*", "do": [inc]}]},
+        {"try": [_bad_int()], "catch": [{"do": [inc]}]},
+        {"try": [_bad_int()], "catch": [{"errors": "*:FORG0001", "do": [inc]}]},
+    ]}}
+    state = r.run(spec)
+    assert state.get("x") == "8"  # golden multipageTry
+
+
+def test_try_catch_http_matrix_matches_golden(runner):
+    """tests/tests.sh:119-127 (golden multipageTryHttp = 7): a failing page
+    fetch raises http:404; class/wildcard/x-digit specs; the last try's
+    catches all miss and the error propagates."""
+    r = runner()
+    inc = {"inc": "x"}
+    bad = {"page": "https://example.org/invalid"}
+    main = [
+        {"try": [bad], "catch": [{"errors": "http",
+                                  "do": [{"variable": {"name": "x", "value": "1"}}]}]},
+        {"try": [bad], "catch": [{"errors": "http300", "do": [inc, inc]},
+                                 {"errors": "http404", "do": [inc]},
+                                 {"errors": "http404", "do": [inc]}]},
+        {"try": [bad], "catch": [{"errors": "http:300", "do": [inc, inc]},
+                                 {"errors": "http:404", "do": [inc]},
+                                 {"errors": "http:404", "do": [inc]}]},
+        {"try": [bad], "catch": [{"errors": "http:3*", "do": [inc, inc]},
+                                 {"errors": "http:4*", "do": [inc]}]},
+        {"try": [bad], "catch": [{"errors": "http:3xx", "do": [inc, inc]},
+                                 {"errors": "http:4xx", "do": [inc]}]},
+        {"try": [bad], "catch": [{"errors": "http:44*", "do": [inc, inc]},
+                                 {"errors": "http:*", "do": [inc]}]},
+        {"try": [bad], "catch": [{"errors": "err:*", "do": [inc, inc]},
+                                 {"errors": "pxp:*", "do": [inc, inc]}]},
+    ]
+    from xidel_spark.extract.multipage import MultipageError
+
+    spec = {"actions": {"main": main}}
+    try:
+        r.run(spec)
+        raise AssertionError("try 7's http:404 must propagate uncaught")
+    except MultipageError as e:
+        assert (e.prefix, e.local) == ("http", "404")
+    # state is internal to run(); rerun without the propagating last try
+    r2 = runner()
+    state = r2.run({"actions": {"main": main[:-1]}})
+    assert state.get("x") == "6"  # +1 propagated-try later = golden 7's count
+
+
+def test_post_step_fetches_and_logs_request(runner):
+    r = runner()
+    spec = {"actions": {"main": [
+        {"variable": {"name": "q", "value": "AAA"}},
+        {"post": "a.xml", "data": "q={q}", "extract": [TITLE]},
+    ]}}
+    state = r.run(spec)
+    assert state.get("title") == "AAA"
+    assert r.pages_fetched == ["POST a.xml q=AAA"]

@@ -17,12 +17,54 @@ reference keeps it.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .patterns import compile_pattern, match_spans
+
+
+class MultipageError(Exception):
+    """An error with the reference's (prefix, local) identity — XQuery
+    errors like err:FORG0001, HTTP errors like http:404."""
+
+    def __init__(self, prefix: str, local: str):
+        super().__init__(f"{prefix}:{local}")
+        self.prefix = prefix
+        self.local = local
+
+
+def error_matches(spec: str, err: MultipageError) -> bool:
+    """<catch errors="..."> matching, semantics pinned by the reference's
+    multipageTry/multipageTryHttp goldens (tests/tests.sh:110-127):
+
+    - whitespace-separated tokens, ANY match catches;
+    - 'p:l' with '*' wildcards on either side ('*', '*:*', '*:FORG0001',
+      'err:*'); a MISMATCHED explicit prefix never catches (pxp:FORG0001
+      does not catch err:FORG0001);
+    - a colon-less token matches only as the full prefix ('http' catches
+      any http error) or prefix+local concatenation ('http404'); a bare
+      local name ('FORG0001') catches NOTHING;
+    - for http errors, 'x' in the local part is a digit wildcard
+      ('http:4xx' catches http:404);
+    - an empty spec catches nothing; an absent spec catches everything."""
+    tokens = spec.split()
+    for tok in tokens:
+        if ":" in tok:
+            p, l = tok.split(":", 1)
+            if p != "*" and p != err.prefix:
+                continue
+            pat = l.replace("*", ".*")
+            if err.prefix == "http":
+                pat = pat.replace("x", "[0-9]")
+            if re.fullmatch(pat, err.local):
+                return True
+        else:
+            if tok == "*" or tok == err.prefix or tok == err.prefix + err.local:
+                return True
+    return False
 
 
 @dataclass
@@ -58,9 +100,11 @@ class MultipageRunner:
         self.id_col = id_col
         self.pages_fetched: list[str] = []
 
-    def _fetch_spans(self, url: str) -> list[dict] | None:
+    def _fetch_spans(
+        self, url: str, method: str = "GET", body: str | None = None
+    ) -> list[dict] | None:
         rows = self.docs.where(F.col(self.id_col) == url).select("spans").collect()
-        self.pages_fetched.append(url)
+        self.pages_fetched.append(url if method == "GET" else f"{method} {url} {body or ''}".rstrip())
         if not rows:
             return None
         return sorted(
@@ -80,17 +124,43 @@ class MultipageRunner:
         for step in steps:
             if "variable" in step:
                 v = step["variable"]
-                state.set(v["name"], state.interpolate(str(v["value"])))
-            elif "page" in step:
-                url = state.interpolate(step["page"])
-                spans = self._fetch_spans(url)
+                val = state.interpolate(str(v["value"]))
+                if v.get("cast") == "int" and not re.fullmatch(r"[+-]?\d+", val.strip()):
+                    # int('f') analogue: xs:integer cast failure
+                    raise MultipageError("err", "FORG0001")
+                state.set(v["name"], val)
+            elif "inc" in step:
+                # <s>x := $x + 1</s> arithmetic-assignment analogue
+                cur = state.get(step["inc"])
+                state.set(step["inc"], str(int(cur or "0") + int(step.get("by", 1))))
+            elif "page" in step or "post" in step:
+                # <post> is <page> with a method/body — the request enters
+                # the fetch log; the lookup-join fetch itself is identical
+                # (xidelbase.pas multipage <post url data>)
+                url = state.interpolate(step.get("page") or step["post"])
+                body = state.interpolate(step.get("data", "")) if "post" in step else None
+                spans = self._fetch_spans(url, method="POST" if "post" in step else "GET",
+                                          body=body)
                 if spans is None:
-                    continue
+                    # the reference surfaces a failed page fetch as an http
+                    # error catchable by <catch errors="http...">
+                    raise MultipageError("http", "404")
                 if "extract" in step:
                     res = match_spans(spans, compile_pattern(step["extract"]))
                     if res:
                         for var, val in res:
                             state.set(var, val)
+            elif "try" in step:
+                try:
+                    self._run_steps(actions, step["try"], state)
+                except MultipageError as err:
+                    for catch in step.get("catch", []):
+                        spec = catch.get("errors")
+                        if spec is None or error_matches(spec, err):
+                            self._run_steps(actions, catch.get("do", []), state)
+                            break
+                    else:
+                        raise  # uncaught: propagate (multipageTryHttp try 7)
             elif "loop" in step:
                 lp = step["loop"]
                 values = state.get_all(lp["over"]) if isinstance(lp["over"], str) else list(lp["over"])

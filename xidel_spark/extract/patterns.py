@@ -28,6 +28,14 @@ from pyspark.sql import types as T
 
 REPEAT = {"?": (0, 1), "*": (0, None), "+": (1, None), "1": (1, 1)}
 
+_CONDITION_OPS = {
+    "eq": lambda v, x: v == x,
+    "ne": lambda v, x: v != x,
+    "contains": lambda v, x: x in v,
+    "starts-with": lambda v, x: v.startswith(x),
+    "ends-with": lambda v, x: v.endswith(x),
+}
+
 
 @dataclass(frozen=True)
 class SpanMatcher:
@@ -37,14 +45,61 @@ class SpanMatcher:
     text_prefix: str | None = None  # xidel text-match default: starts-with
     min_count: int = 1
     max_count: int | None = 1      # None = unbounded
+    condition: tuple | None = None  # t:condition subset: (field, op, value)
 
 
-def compile_pattern(spec: list[dict]) -> list[SpanMatcher]:
+@dataclass(frozen=True)
+class Switch:
+    """<t:switch> / <t:switch-prioritized>: ordered alternation — the first
+    branch whose match lets the rest of the pattern succeed wins
+    (readme.txt t:switch rows)."""
+    branches: tuple
+    prioritized: bool = False
+
+
+@dataclass(frozen=True)
+class Loop:
+    """<t:loop min=.. max=..>: repeats its whole CHILD GROUP (a '+' marker
+    can only repeat the single previous element — readme.txt)."""
+    children: tuple
+    min_count: int = 0
+    max_count: int | None = None
+
+
+@dataclass(frozen=True)
+class Siblings:
+    """<t:siblings>: the children must match ADJACENT spans (no skipped
+    spans inside the group)."""
+    children: tuple
+
+
+def compile_pattern(spec: list[dict]) -> list:
     out = []
     for m in spec:
+        if "switch" in m:
+            out.append(
+                Switch(
+                    tuple(tuple(compile_pattern(b)) for b in m["switch"]),
+                    prioritized=bool(m.get("prioritized")),
+                )
+            )
+            continue
+        if "loop" in m:
+            out.append(
+                Loop(
+                    tuple(compile_pattern(m["loop"])),
+                    min_count=m.get("min", 0),
+                    max_count=m.get("max"),
+                )
+            )
+            continue
+        if "siblings" in m:
+            out.append(Siblings(tuple(compile_pattern(m["siblings"]))))
+            continue
         mn, mx = REPEAT.get(m.get("repeat", "1"), (None, None))
         if mn is None:
             mn, mx = m["repeat"]  # explicit (min, max) tuple
+        cond = m.get("condition")
         out.append(
             SpanMatcher(
                 kind=m["kind"],
@@ -53,6 +108,7 @@ def compile_pattern(spec: list[dict]) -> list[SpanMatcher]:
                 text_prefix=m.get("text_prefix"),
                 min_count=mn,
                 max_count=mx,
+                condition=tuple(cond) if cond else None,
             )
         )
     return out
@@ -63,39 +119,86 @@ def _span_matches(span: dict, m: SpanMatcher) -> bool:
         return False
     if m.text_prefix is not None and not (span.get("text") or "").startswith(m.text_prefix):
         return False
+    if m.condition is not None:
+        field, op, value = m.condition
+        return _CONDITION_OPS[op](span.get(field) or "", value)
     return True
 
 
-def match_spans(spans: list[dict], matchers: list[SpanMatcher]) -> list[tuple[str, str]] | None:
-    """Backtracking subsequence match; returns captured (var, value) pairs
-    in document order, or None when the pattern does not match."""
-
-    def rec(si: int, mi: int) -> list[tuple[str, str]] | None:
-        if mi == len(matchers):
-            return []
-        m = matchers[mi]
-        limit = len(spans) if m.max_count is None else m.max_count
-        # collect greedy occurrence positions (with skips allowed)
-        occs: list[int] = []
-        caps: list[tuple[str, str]] = []
-        pos = si
+def _match_matcher(spans, m: SpanMatcher, si: int, adjacent: bool, cont):
+    limit = len(spans) if m.max_count is None else m.max_count
+    occs: list[int] = []
+    pos = si
+    if adjacent:
+        # t:siblings: occurrences must be consecutive from the current spot
+        while len(occs) < limit and pos < len(spans) and _span_matches(spans[pos], m):
+            occs.append(pos)
+            pos += 1
+    else:
         while len(occs) < limit and pos < len(spans):
             if _span_matches(spans[pos], m):
                 occs.append(pos)
             pos += 1
-        # backtrack from greedy count down to min_count
-        for take in range(len(occs), m.min_count - 1, -1):
-            nxt = (occs[take - 1] + 1) if take else si
-            rest = rec(nxt, mi + 1)
-            if rest is not None:
-                mine = []
-                if m.capture:
-                    for p in occs[:take]:
-                        mine.append((m.capture, spans[p].get(m.field) or ""))
-                return mine + rest
-        return None
+    for take in range(len(occs), m.min_count - 1, -1):
+        nxt = (occs[take - 1] + 1) if take else si
+        rest = cont(nxt)
+        if rest is not None:
+            mine = []
+            if m.capture:
+                for p in occs[:take]:
+                    mine.append((m.capture, spans[p].get(m.field) or ""))
+            return mine + rest
+    return None
 
-    return rec(0, 0)
+
+def _match_nodes(spans, nodes, si: int, ni: int, adjacent: bool, cont):
+    if ni == len(nodes):
+        return cont(si)
+    node = nodes[ni]
+
+    def k(si2):
+        return _match_nodes(spans, nodes, si2, ni + 1, adjacent, cont)
+
+    if isinstance(node, SpanMatcher):
+        return _match_matcher(spans, node, si, adjacent, k)
+    if isinstance(node, Switch):
+        for br in node.branches:
+            r = _match_nodes(spans, br, si, 0, adjacent, k)
+            if r is not None:
+                return r
+        return None
+    if isinstance(node, Loop):
+        def rep(si2, n):
+            if node.max_count is None or n < node.max_count:
+                def again(s3, si2=si2, n=n):
+                    if s3 == si2:  # empty iteration — stop, don't spin
+                        return k(s3) if n + 1 >= node.min_count else None
+                    return rep(s3, n + 1)
+
+                r = _match_nodes(spans, node.children, si2, 0, adjacent, again)
+                if r is not None:
+                    return r
+            return k(si2) if n >= node.min_count else None
+
+        return rep(si, 0)
+    if isinstance(node, Siblings):
+        if adjacent:  # nested inside another adjacency group: stay anchored
+            return _match_nodes(spans, node.children, si, 0, True, k)
+        # the group may START anywhere at-or-after si; adjacency binds
+        # only WITHIN the group
+        for start in range(si, len(spans) + 1):
+            r = _match_nodes(spans, node.children, start, 0, True, k)
+            if r is not None:
+                return r
+        return None
+    raise TypeError(f"unknown pattern node {node!r}")  # pragma: no cover
+
+
+def match_spans(spans: list[dict], matchers: list) -> list[tuple[str, str]] | None:
+    """Backtracking subsequence match over the compiled pattern AST;
+    returns captured (var, value) pairs in document order, or None when
+    the pattern does not match."""
+    return _match_nodes(spans, matchers, 0, 0, False, lambda si: [])
 
 
 LOG_SCHEMA = T.StructType(
