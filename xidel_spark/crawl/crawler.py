@@ -219,18 +219,43 @@ class FrontierCrawler:
                 joined = cand.join(
                     seen_side.withColumn("__seen", F.lit(True)), "url", "left"
                 )
-            # ONE heavy materialization per wave: candidate count, dedup
-            # count and the fresh frontier all read this checkpoint
-            joined = joined.localCheckpoint(eager=True)
-            counts = {
-                bool(r["seen"]): r["n"]
-                for r in joined.groupBy(
-                    F.col("__seen").isNotNull().alias("seen")
-                ).agg(F.count(F.lit(1)).alias("n")).collect()
-            }
-            n_cand = counts.get(True, 0) + counts.get(False, 0)
-            n_fresh = counts.get(False, 0)
-            fresh = joined.where(F.col("__seen").isNull()).drop("__seen")
+            # ONE job per wave: candidate/dedup counts ride the frontier
+            # checkpoint as an Observation over the pre-filter join rows —
+            # no separate wide checkpoint and no extra count jobs
+            from pyspark.sql import Observation
+
+            obs = Observation(f"crawl_w{wave}")
+            fresh = (
+                joined.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n_cand"),
+                    F.sum(F.col("__seen").isNotNull().cast("long")).alias("n_dup"),
+                )
+                .where(F.col("__seen").isNull())
+                .drop("__seen")
+            )
+            next_frontier = fresh.withColumn("host", host_of(F.col("url")))
+            if self.wait_ms > 0:
+                # politeness: earliest allowed fetch time per host bucket
+                # (window over the host partition about to be created); the
+                # watermark offsets each host past its previous wave's last
+                # fetch so spacing holds across the wave boundary too
+                from .politeness import host_watermark, politeness_schedule
+
+                next_frontier = politeness_schedule(
+                    next_frontier.drop("host"), wait_ms=self.wait_ms,
+                    watermark=watermark,
+                )
+            if self.partition_by_host:
+                next_frontier = next_frontier.repartition(F.col("host"))
+            # slim dedicated checkpoint: what stays alive across waves is
+            # only (url, rank, depth, host) per increment — the seen union
+            # reads these. Stats are RESET here: the bloom probe's 8 joins
+            # would compound sizeInBytes estimates 8x per wave (see util)
+            next_frontier = checkpoint_reset_stats(next_frontier)
+            got = obs.get
+            n_cand = int(got["n_cand"] or 0)
+            n_fresh = n_cand - int(got["n_dup"] or 0)
             m = {
                 "wave": wave,
                 "candidates": n_cand,
@@ -241,29 +266,9 @@ class FrontierCrawler:
             metrics.append(m)
             last_fresh = n_fresh
             if n_fresh == 0:
-                joined.unpersist()
+                next_frontier.unpersist()
                 break
-            frontier = fresh.withColumn("host", host_of(F.col("url")))
-            if self.wait_ms > 0:
-                # politeness: earliest allowed fetch time per host bucket
-                # (window over the host partition about to be created); the
-                # watermark offsets each host past its previous wave's last
-                # fetch so spacing holds across the wave boundary too
-                from .politeness import host_watermark, politeness_schedule
-
-                frontier = politeness_schedule(
-                    frontier.drop("host"), wait_ms=self.wait_ms,
-                    watermark=watermark,
-                )
-            if self.partition_by_host:
-                frontier = frontier.repartition(F.col("host"))
-            # slim dedicated checkpoint: what stays alive across waves is
-            # only (url, rank, depth, host) per increment — the seen union
-            # reads these; the wide per-wave join output is released now.
-            # Stats are RESET here: the bloom probe's 8 joins would compound
-            # sizeInBytes estimates 8x per wave otherwise (see util)
-            frontier = checkpoint_reset_stats(frontier)
-            joined.unpersist()
+            frontier = next_frontier
             if self.wait_ms > 0:
                 from .politeness import host_watermark
 

@@ -98,13 +98,15 @@ def crawl_exact(
     per src given by idx. Returns visit order identical to the reference's
     recursive loop (golden tests/output/tef).
     """
+    from pyspark.sql import Observation
+
     seed_urls = _seeds_df(spark, seeds, dedup=True).localCheckpoint(eager=True)
     best = seed_urls
     links = links.select(
         F.col("src"), F.col("idx").cast("int").alias("idx"), F.col("dst")
     )
     waves = 0
-    for _ in range(max_iter):
+    for it in range(max_iter):
         waves += 1
         # one relaxation step: per dst, the best (parent rank, link idx).
         # Seeds are excluded: all data sources are enqueued into the dup
@@ -121,14 +123,29 @@ def crawl_exact(
             )
             .join(seed_urls.select("url"), "url", "left_anti")
         )
+        # convergence detection FUSED into the relaxation aggregate: carry
+        # the previous rank on the best side; a url changed iff it is new
+        # (no old rank) or relaxed below it. The count rides the checkpoint
+        # job as an Observation — no separate anti-join probe per iteration.
+        merged = best.withColumn("old_rank", F.col("rank")).unionByName(
+            cand.withColumn("old_rank", F.lit(None).cast("string"))
+        )
+        obs = Observation(f"relax_{it}")
         new_best = (
-            best.unionByName(cand)
-            .groupBy("url")
-            .agg(F.min(F.struct("rank", "depth")).alias("m"))
+            merged.groupBy("url")
+            .agg(
+                F.min(F.struct("rank", "depth")).alias("m"),
+                F.min("old_rank").alias("old_rank"),
+            )
+            .withColumn(
+                "__changed",
+                (F.col("old_rank").isNull() | (F.col("m.rank") < F.col("old_rank"))).cast("int"),
+            )
+            .observe(obs, F.sum("__changed").alias("ch"))
             .select("url", F.col("m.rank").alias("rank"), F.col("m.depth").alias("depth"))
             .localCheckpoint(eager=True)
         )
-        changed = new_best.join(best, ["url", "rank"], "left_anti").limit(1).count()
+        changed = int(obs.get["ch"] or 0)
         if best is not seed_urls:
             best.unpersist()  # superseded relaxation state
         best = new_best
@@ -237,6 +254,8 @@ def crawl_waves(
     Per-wave metrics (candidates / deduped / enqueued) are recorded —
     the lineage the north rule asks to checkpoint.
     """
+    from pyspark.sql import Observation
+
     links = links.select(
         F.col("src"), F.col("idx").cast("int").alias("idx"), F.col("dst")
     )
@@ -263,11 +282,24 @@ def crawl_waves(
                 (F.col("m.depth") + 1).alias("depth"),
             )
         )
-        cand = cand.localCheckpoint(eager=True)  # one materialization: count + anti-join
-        fresh = cand.join(seen, "url", "left_anti").localCheckpoint(eager=True)
-        n_cand = cand.count()
-        n_fresh = fresh.count()
-        cand.unpersist()  # fresh is its own checkpoint; wide cand is done
+        # ONE job per wave: the candidate/dedup counts ride the fresh
+        # checkpoint as an Observation over the pre-filter rows — no
+        # separate cand checkpoint and no extra count jobs
+        obs = Observation(f"wave_{wave}")
+        fresh = (
+            cand.join(seen.withColumn("__seen", F.lit(True)), "url", "left")
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n_cand"),
+                F.sum(F.col("__seen").isNotNull().cast("long")).alias("n_dup"),
+            )
+            .where(F.col("__seen").isNull())
+            .drop("__seen")
+            .localCheckpoint(eager=True)
+        )
+        got = obs.get
+        n_cand = int(got["n_cand"] or 0)
+        n_fresh = n_cand - int(got["n_dup"] or 0)
         metrics.append(
             {"wave": wave, "candidates": n_cand, "deduped": n_cand - n_fresh, "enqueued": n_fresh}
         )
