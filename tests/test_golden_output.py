@@ -64,3 +64,64 @@ def test_bash3_golden(spark, docs):
     logs = log_for(spark, docs, P_TA, ["a.xml", "b.xml"])
     flat = [kv for log in logs for kv in log]
     assert bash_lines(flat) == G.joinpath("bash3").read_text().splitlines()
+
+
+def test_cmd1_golden(spark, docs):
+    """--output-format cmd (golden tests/output/cmd1): SET scalar + indexed
+    + count lines, via the Catalyst cmd serializer."""
+    from xidel_spark.io.output import cmd_vars
+
+    (log,) = log_for(spark, docs, P_A, ["a.xml"])
+    df = spark.createDataFrame(
+        [(v, i, val) for i, (v, val) in enumerate(log)],
+        "var_name string, seq_index long, value string",
+    )
+    got = [r["line"] for r in cmd_vars(df).collect()]
+    assert got == G.joinpath("cmd1").read_text().splitlines()
+
+
+def test_cmd2_golden(spark, docs):
+    from xidel_spark.io.output import cmd_vars
+
+    logs = log_for(spark, docs, P_A, ["a.xml", "b.xml"])
+    flat = [kv for log in logs for kv in log]
+    df = spark.createDataFrame(
+        [(v, i, val) for i, (v, val) in enumerate(flat)],
+        "var_name string, seq_index long, value string",
+    )
+    got = [r["line"] for r in cmd_vars(df).collect()]
+    assert got == G.joinpath("cmd2").read_text().splitlines()
+
+
+def _anchor_nodes(spark, docs, urls):
+    """matched <a> elements of the pattern, as (tag, ref, text) rows in
+    document order (for the html serializer)."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    for u in urls:
+        spans = docs.where(docs.doc_id == u).select("spans").collect()[0]["spans"]
+        for s in sorted(spans, key=lambda s: s["offset"]):
+            if s["kind"] == "link":
+                rows.append(("a", s["media_ref"], s["text"]))
+    return spark.createDataFrame(rows, "tag string, ref string, text string")
+
+
+def test_htmlraw1_golden(spark, docs):
+    """--output-format html (golden tests/output/htmlraw1): outer-HTML per
+    matched element inside the html/body wrapper."""
+    from xidel_spark.io.output import HTML_FOOTER, HTML_HEADER, html_wrapped
+
+    nodes = _anchor_nodes(spark, docs, ["a.xml"])
+    body = [r["line"] for r in html_wrapped(nodes).collect()]
+    got = HTML_HEADER.splitlines() + body + [HTML_FOOTER]
+    assert got == G.joinpath("htmlraw1").read_text().splitlines()
+
+
+def test_htmlraw2_golden(spark, docs):
+    from xidel_spark.io.output import HTML_FOOTER, HTML_HEADER, html_wrapped
+
+    nodes = _anchor_nodes(spark, docs, ["a.xml", "b.xml"])
+    body = [r["line"] for r in html_wrapped(nodes).collect()]
+    got = HTML_HEADER.splitlines() + body + [HTML_FOOTER]
+    assert got == G.joinpath("htmlraw2").read_text().splitlines()

@@ -83,3 +83,109 @@ def run_pipeline(
     for o in outputs[1:]:
         result = result.unionByName(o)
     return result.orderBy("stage", "ord")
+
+
+def run_pipeline_dfs(
+    spark: SparkSession, docs: DataFrame, seeds: list[str], stages: list[Stage],
+    *, max_iter: int = 50,
+) -> DataFrame:
+    """Unbracketed `-f/-e` chains in the reference's TRUE print order
+    (golden tests/output/nest9a): every followed document is processed
+    depth-first with the REMAINING action suffix, under one global
+    duplication list — so outputs interleave across stages (b's subtree
+    prints before c starts).
+
+    Spark form: the stage pipeline is a rank fixpoint like crawl_exact,
+    with STAGE-INDEXED link tables (a doc reached at stage s follows stage
+    s's selector into stage s+1). The first-enqueuer rule is the min over
+    (parent rank, link idx) — the smallest parent rank IS the earliest
+    processed parent; the winning enqueue fixes the doc's stage and hence
+    its action suffix. The stage graph has no beyond-the-end follows, so
+    unlike finite --follow-level the fixpoint is exact (no over-depth
+    poisoning; cf. engine.crawl_exact_depth_limited).
+
+    Returns (url, stage, rank, selector, value, ord) ordered by ord =
+    (rank, selector position, hit index) — the print order."""
+    from pyspark.sql import Observation
+
+    from ..util import total_order
+    from .order import seg
+
+    links_by_stage = {
+        s: extract_links(docs, st.follow).localCheckpoint(eager=True)
+        for s, st in enumerate(stages)
+        if st.follow is not None and s + 1 < len(stages)
+    }
+    best = spark.createDataFrame(
+        [(u, seg_val, 0) for u, seg_val in
+         ((u, "%08x" % i) for i, u in enumerate(seeds))],
+        "url string, rank string, stage int",
+    ).localCheckpoint(eager=True)
+    for it in range(max_iter):
+        edges = None
+        for s, links in links_by_stage.items():
+            e = (
+                best.where(F.col("stage") == s)
+                .join(links, F.col("url") == links.src)
+                .select(
+                    F.col("dst"), F.col("rank").alias("prank"), F.col("idx"),
+                    F.lit(s + 1).alias("nstage"),
+                )
+            )
+            edges = e if edges is None else edges.unionByName(e)
+        if edges is None:
+            break
+        # first-enqueuer = the MIN-RANK PARENT (earliest processed) across
+        # ALL stages, then its link index — reduce on the parent rank
+        # BEFORE concatenating the child segment (comparing concatenated
+        # child ranks would wrongly prefer a longer path through an
+        # earlier-rank subtree; same trick as engine.crawl_exact)
+        cands = (
+            edges.groupBy("dst")
+            .agg(F.min(F.struct(F.col("prank"), F.col("idx"), F.col("nstage"))).alias("m"))
+            .select(
+                F.col("dst").alias("url"),
+                F.concat(F.col("m.prank"), seg(F.col("m.idx"))).alias("rank"),
+                F.col("m.nstage").alias("stage"),
+            )
+        )
+        merged = best.withColumn("old_rank", F.col("rank")).unionByName(
+            cands.join(best.where(F.col("stage") == 0).select("url"), "url", "left_anti")
+            .withColumn("old_rank", F.lit(None).cast("string"))
+        )
+        obs = Observation(f"pipe_{it}")
+        new_best = (
+            merged.groupBy("url")
+            .agg(F.min(F.struct("rank", "stage")).alias("m"), F.min("old_rank").alias("o"))
+            .withColumn("__ch", (F.col("o").isNull() | (F.col("m.rank") < F.col("o"))).cast("int"))
+            .observe(obs, F.sum("__ch").alias("ch"))
+            .select("url", F.col("m.rank").alias("rank"), F.col("m.stage").alias("stage"))
+            .localCheckpoint(eager=True)
+        )
+        changed = int(obs.get["ch"] or 0)
+        best.unpersist()
+        best = new_best
+        if changed == 0:
+            break
+    outputs = []
+    for s, stage in enumerate(stages):
+        for sel_i, sel in enumerate(stage.extract):
+            vals = extract_kind_text(docs, sel)
+            outputs.append(
+                best.where(F.col("stage") == s)
+                .join(vals, "url")
+                .select(
+                    "url", "stage", "rank", F.lit(sel).alias("selector"),
+                    F.col("value"), F.lit(sel_i).alias("__sel"), F.col("idx").alias("__hit"),
+                )
+            )
+    if not outputs:
+        return spark.createDataFrame(
+            [], "url string, stage int, rank string, selector string, value string, ord int"
+        )
+    res = outputs[0]
+    for o in outputs[1:]:
+        res = res.unionByName(o)
+    return total_order(res, ["rank", "__sel", "__hit"], out_col="ord").drop(
+        "__sel", "__hit"
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _xml_escape(c: Column) -> Column:
@@ -49,6 +50,70 @@ def json_wrapped(values: DataFrame, value_col: str = "value", group_col: str | N
     return gb.select(
         *([group_col] if group_col else []),
         F.concat(F.lit("["), F.array_join("items", ", "), F.lit("]")).alias("line"),
+    )
+
+
+def html_wrapped(nodes: DataFrame, tag_col: str = "tag", ref_col: str = "ref",
+                 text_col: str = "text") -> DataFrame:
+    """--output-format html (ofRawHTML, xidelcrt.pas:42): outer-HTML of
+    each matched element, one per line; write-time wrapper is
+    '<!DOCTYPE html>\\n<html><body>' / '</body></html>' (html_header/
+    html_footer below). Golden tests/output/htmlraw1."""
+    attr = F.when(
+        F.col(ref_col).isNotNull(),
+        F.concat(F.lit(' href="'), _xml_escape(F.col(ref_col)), F.lit('"')),
+    ).otherwise(F.lit(""))
+    return nodes.select(
+        F.concat(
+            F.lit("<"), F.col(tag_col), attr, F.lit(">"),
+            _xml_escape(F.col(text_col).cast("string")),
+            F.lit("</"), F.col(tag_col), F.lit(">"),
+        ).alias("line")
+    )
+
+
+HTML_HEADER = "<!DOCTYPE html>\n<html><body>"
+HTML_FOOTER = "</body></html>"
+
+
+def cmd_vars(log: DataFrame, percent_escape: str = "%") -> DataFrame:
+    """--output-format cmd (ofWindowsCmd): SET var=<first>, SET var[i]=v
+    per value, SET #var=N per variable (golden tests/output/cmd1).
+    percent_escape mirrors windowsCmdPercentageEscape: '%%' for .bat,
+    '^%' for `for /f` (xidelcrt.pas:178-185)."""
+    repl = "%%" if percent_escape == "%" else percent_escape + "%"
+    esc = F.regexp_replace(F.col("value").cast("string"), "%", repl)
+    w_var = Window.partitionBy("var_name").orderBy("seq_index")
+    # every line of a variable groups at the variable's FIRST appearance
+    first = F.min("seq_index").over(Window.partitionBy("var_name"))
+    indexed = log.withColumn("__i", F.row_number().over(w_var) - 1).withColumn(
+        "__ord", first
+    )
+    scalar = (
+        indexed.where(F.col("__i") == 0)
+        .select(
+            "var_name", "__ord", F.lit(0).alias("__k"),
+            F.concat(F.lit("SET "), F.col("var_name"), F.lit("="), esc).alias("line"),
+        )
+    )
+    element = indexed.select(
+        "var_name", "__ord", (F.col("__i") + 1).alias("__k"),
+        F.concat(
+            F.lit("SET "), F.col("var_name"), F.lit("["), F.col("__i"), F.lit("]="), esc
+        ).alias("line"),
+    )
+    counts = (
+        log.groupBy("var_name")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("seq_index").alias("__ord"))
+        .select(
+            "var_name", "__ord", F.lit(1 << 30).alias("__k"),
+            F.concat(F.lit("SET #"), F.col("var_name"), F.lit("="), F.col("n")).alias("line"),
+        )
+    )
+    return (
+        scalar.unionByName(element).unionByName(counts)
+        .orderBy("__ord", "__k")
+        .select("line")
     )
 
 
