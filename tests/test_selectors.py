@@ -202,3 +202,38 @@ def test_unsupported_selector_raises():
         compile_xpath("//a[foo(bar)]")
     with pytest.raises(ValueError):
         compile_css("p::before")
+
+
+def test_outer_xml_matches_inputformat_goldens(spark):
+    """outer-xml(/) of parsed fragments vs goldens inputformatAutoA/C/Xml:
+    html parsing wraps known-HTML fragments in <html><head/><body>…; auto
+    dispatches on the root tag; xml parses as-is."""
+    from xidel_spark.extract.nodes import outer_xml, parse_auto_nodes, parse_xml_nodes
+
+    df = spark.createDataFrame([("<a>x</a>",), ("<c>x</c>",)], "m string")
+    auto = df.select("m", outer_xml(parse_auto_nodes(F.col("m"))).alias("o")).collect()
+    got = {r["m"]: r["o"] for r in auto}
+    assert got["<a>x</a>"] == GOLDEN.joinpath("inputformatAutoA").read_text().strip()
+    assert got["<c>x</c>"] == GOLDEN.joinpath("inputformatAutoC").read_text().strip()
+    [xml] = df.where("m = '<a>x</a>'").select(
+        outer_xml(parse_xml_nodes(F.col("m"))).alias("o")
+    ).collect()
+    assert xml["o"] == GOLDEN.joinpath("inputformatXml").read_text().strip()
+
+
+def test_inner_xml_and_subtree_serialization(spark):
+    from xidel_spark.extract.nodes import inner_xml_py, outer_xml_py, _parse_xml_py
+
+    nodes = _parse_xml_py('<r a="1&amp;2"><b>x</b><c/></r>')
+    assert outer_xml_py(nodes) == '<r a="1&amp;2"><b>x</b><c/></r>'
+    assert inner_xml_py(nodes, 1) == "<b>x</b><c/>"
+    # subtree rooted at <b> (id 2)
+    assert outer_xml_py(nodes, 2) == "<b>x</b>"
+
+
+def test_css_function_inside_xpath_path(spark):
+    """css("a.cls")/@href — the reference's CSS/XPath bridge
+    (readme.txt:195-196)."""
+    html = '<div><a class="cls" href="u1">one</a><a href="u2">two</a></div>'
+    assert _eval_html(spark, html, 'css("a.cls")/@href') == ["u1"]
+    assert _eval_html(spark, html, '//div/css("a")/@href') == ["u1", "u2"]

@@ -215,14 +215,17 @@ def _parse_html_py(html: str | None, wrap: bool = True) -> list[dict] | None:
 
 
 def _wrap_html_body(nodes: list[dict]) -> list[dict]:
-    """Re-root a fragment forest under synthetic html/body (ids renumbered
-    to keep the pre-order position==id+1 invariant)."""
+    """Re-root a fragment forest under synthetic html/head/body (ids
+    renumbered to keep the pre-order position==id+1 invariant; the empty
+    <head/> matches the reference's tree builder — golden
+    tests/output/inputformatAutoA serializes <html><head/><body>…)."""
     out = [
         {"id": 0, "parent": -1, "pos": 0, "tag": "#doc", "attrs": {}, "text": None, "anc": []},
         {"id": 1, "parent": 0, "pos": 1, "tag": "html", "attrs": {}, "text": None, "anc": [0]},
-        {"id": 2, "parent": 1, "pos": 1, "tag": "body", "attrs": {}, "text": None, "anc": [0, 1]},
+        {"id": 2, "parent": 1, "pos": 1, "tag": "head", "attrs": {}, "text": None, "anc": [0, 1]},
+        {"id": 3, "parent": 1, "pos": 2, "tag": "body", "attrs": {}, "text": None, "anc": [0, 1]},
     ]
-    remap = {0: 2}  # old root's children now hang off body (id 2)
+    remap = {0: 3}  # old root's children now hang off body (id 3)
     for n in nodes[1:]:
         new = dict(n)
         new["id"] = len(out)
@@ -231,6 +234,31 @@ def _wrap_html_body(nodes: list[dict]) -> list[dict]:
         remap[n["id"]] = new["id"]
         out.append(new)
     return out
+
+
+# root tags the reference's auto-detection treats as HTML (fragments whose
+# top element is a known HTML tag get the html/head/body wrapper; anything
+# else parses as plain XML — goldens inputformatAutoA vs inputformatAutoC)
+_HTML_TAGS = {
+    "html", "head", "body", "a", "p", "div", "span", "table", "tr", "td",
+    "th", "ul", "ol", "li", "h1", "h2", "h3", "h4", "h5", "h6", "title",
+    "b", "i", "em", "strong", "img", "br", "form", "input", "script",
+    "style", "pre", "code", "section", "article", "nav", "header", "footer",
+}
+
+
+def _parse_auto_py(markup: str | None) -> list[dict] | None:
+    """--input-format auto: HTML when the root element is a known HTML tag,
+    XML otherwise."""
+    if markup is None:
+        return None
+    import re
+
+    m = re.search(r"<\s*([a-zA-Z][\w-]*)", markup)
+    tag = (m.group(1).lower() if m else "")
+    if tag in _HTML_TAGS:
+        return _parse_html_py(markup)
+    return _parse_xml_py(markup) or _parse_html_py(markup)
 
 
 def _parse_xml_py(xml: str | None) -> list[dict] | None:
@@ -289,9 +317,100 @@ def _fill_string_values(nodes: list[dict]) -> None:
         nodes[0]["text"] = "".join(parts[0])
 
 
+def _esc_text(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _esc_attr(s: str) -> str:
+    return _esc_text(s).replace('"', "&quot;")
+
+
+def outer_xml_py(nodes: list[dict] | None, root_id: int = 0) -> str | None:
+    """outer-xml()/outer-html(): serialize the subtree at root_id —
+    self-closing empties (<head/>), escaped text/attributes; id 0 (the
+    #doc node) serializes its children (golden inputformatAutoA:
+    '<html><head/><body><a>x</a></body></html>')."""
+    if nodes is None:
+        return None
+    kids: dict[int, list[int]] = {}
+    for n in nodes:
+        kids.setdefault(n["parent"], []).append(n["id"])
+    byid = {n["id"]: n for n in nodes}
+
+    def ser(nid: int) -> str:
+        n = byid[nid]
+        if n["tag"] == "#text":
+            return _esc_text(n["text"] or "")
+        if n["tag"] == "#skip":
+            return ""
+        inner = "".join(ser(c) for c in kids.get(nid, []))
+        if n["tag"] == "#doc":
+            return inner
+        attrs = "".join(f' {k}="{_esc_attr(v or "")}"' for k, v in (n["attrs"] or {}).items())
+        if not kids.get(nid):
+            return f"<{n['tag']}{attrs}/>"
+        return f"<{n['tag']}{attrs}>{inner}</{n['tag']}>"
+
+    return ser(root_id)
+
+
+def inner_xml_py(nodes: list[dict] | None, root_id: int = 0) -> str | None:
+    """inner-xml()/inner-html(): the children's serialization only."""
+    if nodes is None:
+        return None
+    kids = [n["id"] for n in nodes if n["parent"] == root_id]
+    return "".join(outer_xml_py(nodes, k) or "" for k in kids)
+
+
+@F.pandas_udf(StringType())
+def outer_xml_udf(nodes: pd.Series, root_id: pd.Series) -> pd.Series:
+    return pd.Series(
+        [outer_xml_py(_rows_to_dicts(n), int(i)) for n, i in zip(nodes, root_id)],
+        dtype="object",
+    )
+
+
+@F.pandas_udf(StringType())
+def inner_xml_udf(nodes: pd.Series, root_id: pd.Series) -> pd.Series:
+    return pd.Series(
+        [inner_xml_py(_rows_to_dicts(n), int(i)) for n, i in zip(nodes, root_id)],
+        dtype="object",
+    )
+
+
+def _rows_to_dicts(rows) -> list[dict] | None:
+    if rows is None:
+        return None
+    return [
+        {"id": r["id"], "parent": r["parent"], "pos": r["pos"], "tag": r["tag"],
+         "attrs": r["attrs"], "text": r["text"], "anc": r["anc"]}
+        for r in rows
+    ]
+
+
+def outer_xml(nodes: Column, root_id: Column | int = 0) -> Column:
+    rid = F.lit(root_id) if isinstance(root_id, int) else root_id
+    return outer_xml_udf(nodes, rid)
+
+
+def inner_xml(nodes: Column, root_id: Column | int = 0) -> Column:
+    rid = F.lit(root_id) if isinstance(root_id, int) else root_id
+    return inner_xml_udf(nodes, rid)
+
+
 @F.pandas_udf(NODES_TYPE)
 def parse_html_udf(htmls: pd.Series) -> pd.Series:
     return htmls.map(_parse_html_py)
+
+
+@F.pandas_udf(NODES_TYPE)
+def parse_auto_udf(markup: pd.Series) -> pd.Series:
+    return markup.map(_parse_auto_py)
+
+
+def parse_auto_nodes(markup: Column) -> Column:
+    """--input-format auto analogue."""
+    return parse_auto_udf(markup)
 
 
 @F.pandas_udf(NODES_TYPE)

@@ -125,6 +125,31 @@ class _Parser:
                 break
             if k is None or (k == "sym" and v in ("]", ")", ",", "|")) or k == "op":
                 break
+            if k == "name" and v == "css" and self.peek(1) == ("sym", "("):
+                # css("sel") step — combine CSS and XPath in one path, the
+                # reference's pxp:css bridge (readme.txt:195-196): the CSS
+                # selector's steps splice in relative to the current context
+                self.next(); self.next()
+                sel = self._string()
+                self.expect("sym", ")")
+                from .css import parse_css
+
+                groups = parse_css(sel)
+                if len(groups) != 1:
+                    raise ValueError(
+                        f"css() inside a path supports a single selector, got {sel!r}"
+                    )
+                steps.extend(groups[0].steps)
+                k, v = self.peek()
+                if k == "dslash":
+                    self.next()
+                    pending_axis = "descendant"
+                elif k == "slash":
+                    self.next()
+                    pending_axis = "child"
+                else:
+                    break
+                continue
             step = self.parse_step(pending_axis)
             if step.axis == "descendant" and pending_axis == "descendant" and any(
                 p[0] in ("pos", "last", "poscmp") for p in step.preds

@@ -130,7 +130,14 @@ SELECT l_orderkey::BIGINT AS l_orderkey, CAST(l_linenumber AS INT) AS l_linenumb
        CAST(ceil(l_discount * 100) AS BIGINT) AS ceil_disc,
        CAST(floor(l_tax * 100) AS BIGINT) AS floor_tax,
        floor(sqrt(l_extendedprice) * 10000 + 0.5) / 10000 AS sqrt_x,
-       floor(pow(l_quantity, 2.0) * 10000 + 0.5) / 10000 AS qty_sq
+       floor(pow(l_quantity, 2.0) * 10000 + 0.5) / 10000 AS qty_sq,
+       floor(sin(l_discount * 3.0) * 10000 + 0.5) / 10000 AS sin_d,
+       floor(cos(l_tax * 2.0) * 10000 + 0.5) / 10000 AS cos_t,
+       floor(atan2(l_quantity, 7.0) * 10000 + 0.5) / 10000 AS atan2_q,
+       floor(3.141592653589793 * l_discount * 10000 + 0.5) / 10000 AS pi_d,
+       floor(ln(l_extendedprice + 1.0) * 10000 + 0.5) / 10000 AS ln_x,
+       floor(log10(l_extendedprice + 1.0) * 10000 + 0.5) / 10000 AS log10_x,
+       floor(exp(l_discount) * 10000 + 0.5) / 10000 AS exp_d
 FROM lineitem
 """
 

@@ -150,6 +150,14 @@ def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_tax") * 100).cast("long").alias("floor_tax"),
         qround(F.sqrt(x), 4).alias("sqrt_x"),
         qround(F.pow(F.col("l_quantity"), F.lit(2.0)), 4).alias("qty_sq"),
+        # math: trig / pi / logarithms (web/functions.xml math module)
+        qround(F.sin(F.col("l_discount") * 3.0), 4).alias("sin_d"),
+        qround(F.cos(F.col("l_tax") * 2.0), 4).alias("cos_t"),
+        qround(F.atan2(F.col("l_quantity"), F.lit(7.0)), 4).alias("atan2_q"),
+        qround(F.lit(3.141592653589793) * F.col("l_discount"), 4).alias("pi_d"),
+        qround(F.log(x + 1.0), 4).alias("ln_x"),
+        qround(F.log10(x + 1.0), 4).alias("log10_x"),
+        qround(F.exp(F.col("l_discount")), 4).alias("exp_d"),
     )
 
 
