@@ -69,3 +69,46 @@ def test_request_fetch_lateral_join(spark):
     assert out["a.xml"]["type"] == "text/html"
     assert "AAA" in out["a.xml"]["raw"]
     assert out["ghost.xml"] is None
+
+
+def test_x_request_constructor_threads_all_fields(spark):
+    from xidel_spark.crawl.requests import x_request
+
+    df = spark.createDataFrame([("http://e.com/x",)], "u string")
+    [r] = df.select(
+        x_request(
+            F.col("u"), F.lit("put"), F.lit("data"),
+            F.array(F.lit("X-H: 1")), F.lit("404=retry"),
+        ).alias("r")
+    ).select("r.*").collect()
+    assert (r["url"], r["method"], r["body"], list(r["headers"]), r["error_handling"]) == (
+        "http://e.com/x", "PUT", "data", ["X-H: 1"], "404=retry"
+    )
+
+
+def test_per_request_error_policy(spark):
+    """follow-object error-handling overrides (tests/tests.sh:128-129):
+    the policy is a per-ROW column; exact code beats class, parsed in
+    Catalyst."""
+    from xidel_spark.corpus import fixture_graph
+    from xidel_spark.crawl.requests import request_fetch
+
+    docs = fixture_graph(spark)
+    reqs = spark.createDataFrame(
+        [
+            ("a.xml", ""),                        # 200 → accept (default)
+            ("ghost.xml", ""),                    # 404 → skip (default)
+            ("ghost.xml", "4xx=retry"),           # class match
+            ("ghost.xml", "404=ignore,4xx=retry"),  # exact beats class
+            ("ghost.xml", "403=ignore,4xx=retry"),  # exact misses → class
+        ],
+        "url string, error_handling string",
+    )
+    out = request_fetch(reqs, docs, policy_col="error_handling").collect()
+    got = [(r["url"], r["status"], r["action"], r["error_handling"]) for r in out]
+    by_policy = {(u, p): (s, a) for u, s, a, p in got}
+    assert by_policy[("a.xml", "")] == (200, "accept")
+    assert by_policy[("ghost.xml", "")] == (404, "skip")
+    assert by_policy[("ghost.xml", "4xx=retry")] == (404, "retry")
+    assert by_policy[("ghost.xml", "404=ignore,4xx=retry")] == (404, "ignore")
+    assert by_policy[("ghost.xml", "403=ignore,4xx=retry")] == (404, "retry")

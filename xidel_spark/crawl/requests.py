@@ -56,12 +56,65 @@ def request_from_form(
     )
 
 
-def request_fetch(requests: DataFrame, documents: DataFrame, url_col: str = "url") -> DataFrame:
+def x_request(
+    url: Column,
+    method: Column | None = None,
+    body: Column | None = None,
+    headers: Column | None = None,
+    error_handling: Column | None = None,
+) -> Column:
+    """x:request object constructor (readme.txt x:request; option fields at
+    xidelbase.pas follow-object options): url, method, post body, header
+    block, and the per-request error-handling override — ALL fields thread
+    through the fetch stage and into the request-tuple identity."""
+    empty_headers = F.array().cast("array<string>")
+    return F.struct(
+        url.alias("url"),
+        F.upper(F.coalesce(method, F.lit("GET"))).alias("method"),
+        F.coalesce(body, F.lit("")).alias("body"),
+        F.coalesce(headers, empty_headers).alias("headers"),
+        F.coalesce(error_handling, F.lit("")).alias("error_handling"),
+    )
+
+
+def action_for_request(status: Column, policy: Column) -> Column:
+    """Per-REQUEST error policy (the reference's follow-object override,
+    tests/tests.sh:128-129): the policy string ('404=skip,4xx=retry,...')
+    is a COLUMN, parsed row-wise in Catalyst — exact status code beats the
+    Nxx class, default accept for 2xx / skip otherwise, all inside
+    whole-stage codegen (no driver-side parse_policy needed)."""
+    entries = F.filter(
+        F.split(F.coalesce(policy, F.lit("")), ","), lambda e: F.trim(e) != ""
+    )
+
+    def value_for(key: Column) -> Column:
+        hits = F.filter(
+            entries, lambda e: F.trim(F.element_at(F.split(e, "="), 1)) == key
+        )
+        return F.try_element_at(
+            F.transform(hits, lambda e: F.trim(F.element_at(F.split(e, "="), 2))),
+            F.lit(1),
+        )
+
+    exact = value_for(status.cast("string"))
+    cls = value_for(F.concat((status / 100).cast("int").cast("string"), F.lit("xx")))
+    default = F.when((status >= 200) & (status < 300), "accept").otherwise(F.lit("skip"))
+    return F.coalesce(exact, cls, default)
+
+
+def request_fetch(
+    requests: DataFrame,
+    documents: DataFrame,
+    url_col: str = "url",
+    policy_col: str | None = None,
+) -> DataFrame:
     """x:request($req) inside an expression (xidelbase.pas:4149-4205):
     each request row gains the response object {url, type, headers, raw} —
     realized as a lateral lookup join against the documents table (the
-    sandbox fetch; an HTTP stage on a cluster). Unmatched requests get a
-    null response (the 404 path feeds the error policy)."""
+    sandbox fetch; an HTTP stage on a cluster sends the request's method/
+    body/headers). Unmatched requests get a null response and status 404;
+    when `policy_col` names a per-request error-handling column the rows
+    also gain (status, action) from `action_for_request`."""
     resp = documents.select(
         F.col("doc_id").alias("__u"),
         F.struct(
@@ -71,7 +124,13 @@ def request_fetch(requests: DataFrame, documents: DataFrame, url_col: str = "url
             F.to_json(F.col("spans")).alias("raw"),
         ).alias("response"),
     )
-    return requests.join(resp, requests[url_col] == resp["__u"], "left").drop("__u")
+    out = requests.join(resp, requests[url_col] == resp["__u"], "left").drop("__u")
+    if policy_col is not None:
+        status = F.when(F.col("response").isNotNull(), F.lit(200)).otherwise(F.lit(404))
+        out = out.withColumn("status", status).withColumn(
+            "action", action_for_request(F.col("status"), F.col(policy_col))
+        )
+    return out
 
 
 def dedup_requests(requests: DataFrame, arrival_col: str = "arrival") -> DataFrame:
