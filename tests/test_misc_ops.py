@@ -76,3 +76,48 @@ def test_guess_extraction_kind():
     assert guess_kind("count(//a)") == "xpath"
     assert normalize_selector("a") == "//a"
     assert normalize_selector("//title") == "//title"
+
+
+def test_media_fake_decoder_and_frame_sample(spark):
+    """decode/feature-extract/resize/frame-sample legs over the fake
+    decoder: real numpy ops on deterministic pixel arrays."""
+    import numpy as np
+
+    from xidel_spark.corpus import base_docs
+    from xidel_spark.ops.media import (
+        decode_image, decode_media, frame_sample, resize_image, synth_media,
+    )
+
+    media = synth_media(
+        base_docs(spark, "/root/testdata/sf0.001").select("doc_id", "text").limit(20)
+    ).cache()
+    dec = decode_media(media, decoder="fake", thumb=4).collect()
+    assert len(dec) == 20
+    for r in dec:
+        assert 8 <= r["width"] <= 15 and r["height"] == 16
+        assert len(r["thumb"]) == 16
+        assert 0 <= r["px_mean"] <= 255 and r["px_std"] >= 0
+    # resize is deterministic nearest-neighbor on the decoded array
+    blob = media.limit(1).collect()[0]["blob"]
+    px = decode_image(bytes(blob), decoder="fake")
+    t = resize_image(px, 4, 4)
+    ys = (np.arange(4) * px.shape[0] // 4).clip(0, px.shape[0] - 1)
+    xs = (np.arange(4) * px.shape[1] // 4).clip(0, px.shape[1] - 1)
+    assert t.shape == (4, 4) and (t == px[np.ix_(ys, xs)]).all()
+    # frame sampling keeps every 2nd 4-byte frame
+    fr = frame_sample(media, frame_bytes=4, every=2).collect()
+    per_doc = {}
+    for r in fr:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    for idxs in per_doc.values():
+        assert sorted(idxs) == [0, 2]  # 16 bytes → 4 frames → sampled 0,2
+        assert all(isinstance(i, int) for i in idxs)
+
+
+def test_media_real_decoder_raises_without_libs():
+    import pytest as _pytest
+
+    from xidel_spark.ops.media import decode_image
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG", decoder="real")

@@ -114,6 +114,32 @@ SELECT doc_id,
 FROM m
 """
 
+MEDIA_DECODE = """
+WITH m AS (SELECT doc_id::BIGINT AS doc_id, md5(text) AS h FROM documents),
+b AS (
+  SELECT doc_id, i,
+         16 * (strpos('0123456789abcdef', substr(h, (2 * i - 1)::INT, 1)) - 1)
+            + (strpos('0123456789abcdef', substr(h, (2 * i)::INT, 1)) - 1) AS byte
+  FROM m CROSS JOIN (SELECT unnest(range(1, 17)) AS i)
+),
+agg AS (
+  SELECT doc_id,
+         avg(byte::DOUBLE) AS mu,
+         avg(byte::DOUBLE * byte) AS m2,
+         max(CASE WHEN i = 1 THEN byte END) AS b0
+  FROM b GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+            ELSE 'audio/wav' END AS mime,
+       CAST(8 + b0 % 8 AS INT) AS width,
+       CAST(16 AS INT) AS height,
+       floor(mu * 10000 + 0.5) / 10000 AS px_mean,
+       floor(sqrt(m2 - mu * mu) * 10000 + 0.5) / 10000 AS px_std
+FROM agg
+"""
+
 DATETIME_FUNCTIONS = """
 SELECT event_id::BIGINT AS event_id,
        CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
@@ -216,6 +242,7 @@ EXT_ORACLES = {
     "changelog_condense": CHANGELOG_CONDENSE,
     "changelog_json": CHANGELOG_JSON,
     "media_features": MEDIA_FEATURES,
+    "media_decode": MEDIA_DECODE,
     "datetime_functions": DATETIME_FUNCTIONS,
     "math_functions": MATH_FUNCTIONS,
     "higher_order_functions": HIGHER_ORDER_FUNCTIONS,

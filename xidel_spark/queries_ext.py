@@ -118,6 +118,25 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "mime", "blob_len", "first_byte", "byte_sum")
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal decode/feature-extract/resize leg: the deterministic fake
+    decoder (decoder='fake', the sandbox stand-in the brief allows) turns
+    each blob into a real pixel array; width from the content, exact-tiled
+    height, pixel mean/std computed with oracle-identical arithmetic."""
+    from .ops.media import decode_media, synth_media
+    from .util import qround
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    dec = decode_media(synth_media(docs), decoder="fake")
+    return dec.select(
+        "doc_id", "mime", "width", "height",
+        qround(F.col("px_mean"), 4).alias("px_mean"),
+        qround(F.col("px_std"), 4).alias("px_std"),
+    )
+
+
 def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """date/time function class (SURVEY §2.3): component extraction,
     formatting, epoch arithmetic over the events timestamps."""
@@ -276,6 +295,7 @@ EXT_QUERIES = {
     "changelog_condense": q_changelog_condense,
     "changelog_json": q_changelog_json,
     "media_features": q_media_features,
+    "media_decode": q_media_decode,
     "datetime_functions": q_datetime_functions,
     "math_functions": q_math_functions,
     "higher_order_functions": q_higher_order_functions,
