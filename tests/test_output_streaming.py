@@ -73,8 +73,67 @@ def test_media_plumbing(spark):
     assert all(len(r["feat"]) == 3 for r in rows)
 
 
-def test_media_decode_stub_raises():
+def test_media_decode_real_hook_raises_without_libs():
     from xidel_spark.ops.media import decode_image
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image(b"\x89PNG", decoder="real")
+    # the deterministic fake decoder is the sandbox default
+    assert decode_image(b"\x89PNG\x01\x02").shape[1] >= 8
+
+
+def test_stateful_rate_limiter_spans_microbatches(spark, tmp_path):
+    """applyInPandasWithState politeness: the per-host clock must carry
+    ACROSS micro-batches (batch 2's first fetch on a host is >= wait after
+    batch 1's last), matching the batch engine's cross-wave watermark."""
+    import json
+    import time
+
+    from xidel_spark.streaming.stateful import (
+        REQUEST_SCHEMA, politeness_rate_limiter,
+    )
+
+    src = tmp_path / "reqs"
+    sink = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        p = src / name
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+
+    write_batch("b1.json", [
+        {"host": "h1", "url": "u1", "rank": "a"},
+        {"host": "h1", "url": "u2", "rank": "b"},
+        {"host": "h2", "url": "v1", "rank": "a"},
+    ])
+    stream = (
+        spark.readStream.schema(REQUEST_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    sched = politeness_rate_limiter(stream, wait_ms=250)
+    q = (
+        sched.writeStream.format("json")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch("b2.json", [
+            {"host": "h1", "url": "u3", "rank": "a"},
+            {"host": "h3", "url": "w1", "rank": "a"},
+        ])
+        time.sleep(0.2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.json(str(sink)).collect()
+    got = {r["url"]: (r["host"], r["scheduled_ms"]) for r in rows}
+    assert got["u1"] == ("h1", 0) and got["u2"] == ("h1", 250)
+    assert got["v1"] == ("h2", 0)
+    # the cross-batch invariant: u3 continues h1's clock, w1 starts fresh
+    assert got["u3"] == ("h1", 500)
+    assert got["w1"] == ("h3", 0)
