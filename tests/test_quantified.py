@@ -101,3 +101,36 @@ def test_adjust_datetime_to_timezone(spark):
     ts = F.to_timestamp(F.lit("2002-03-07 10:00:00"))
     [s] = _one(spark, [q.adjust_datetime_string(ts, "+02:00")])
     assert s == "2002-03-07T12:00:00+02:00"
+
+def test_format_datetime_picture_strings(spark):
+    """XPath 3.0 §9.8.4 picture strings → correct rendering."""
+    from xidel_spark.functions.datetimefn import format_datetime, picture_to_pattern
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ts = F.to_timestamp(F.lit("2008-06-03 11:05:30"))
+    got = _one(spark, [
+        format_datetime(ts, "[Y0001]-[M01]-[D01]"),
+        format_datetime(ts, "[D] [MNn] [Y], [H01]:[m01]:[s01]"),
+        format_datetime(ts, "[FNn] [D01].[M01]."),
+        format_datetime(ts, "[h]:[m01] [P]"),
+    ])
+    assert got[0] == "2008-06-03"
+    assert got[1] == "3 June 2008, 11:05:30"
+    assert got[2] == "Tuesday 03.06."
+    assert got[3] == "11:05 AM"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        picture_to_pattern("[Q9]")
+
+
+def test_matches_replace_encode(spark):
+    from xidel_spark.functions.datetimefn import encode_for_uri, matches, replace_rx
+
+    got = _one(spark, [
+        matches(F.lit("abc123"), r"\d+"),
+        matches(F.lit("abc"), r"^\d+$"),
+        replace_rx(F.lit("a1b22c"), r"(\d+)", "<$1>"),
+        encode_for_uri(F.lit("a b/c~d*e")),
+    ])
+    assert got == [True, False, "a<1>b<22>c", "a%20b%2Fc~d%2Ae"]

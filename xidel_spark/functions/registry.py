@@ -54,6 +54,7 @@ class ModuleRegistry:
 
 
 def _builtin_registry() -> ModuleRegistry:
+    from . import datetimefn as dt
     from . import jsonfn as jf
     from . import quantified as q
     from . import sequences as sq
@@ -81,6 +82,10 @@ def _builtin_registry() -> ModuleRegistry:
         "adjust-dateTime-to-timezone": q.adjust_datetime_to_timezone,
         "resolve-uri": resolve_url, "exists": lambda c: c.isNotNull(),
         "count": F.size, "sum": lambda c: F.aggregate(c, F.lit(0.0), lambda a, x: a + x),
+        "matches": dt.matches, "replace": dt.replace_rx,
+        "encode-for-uri": dt.encode_for_uri,
+        "format-dateTime": dt.format_datetime, "format-date": dt.format_date,
+        "format-time": dt.format_time,
     })
     r.load_module("math", {
         "sqrt": F.sqrt, "pow": F.pow, "sin": F.sin, "cos": F.cos, "tan": F.tan,

@@ -146,7 +146,8 @@ SELECT event_id::BIGINT AS event_id,
        CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
        strftime(ts, '%Y-%m-%d') AS iso_date,
        CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
-       strftime(ts::DATE + INTERVAL 7 DAY, '%Y-%m-%d') AS plus7
+       strftime(ts::DATE + INTERVAL 7 DAY, '%Y-%m-%d') AS plus7,
+       strftime(ts, '%-d %B %Y, %H:%M') AS picture
 FROM events
 """
 

@@ -12,6 +12,7 @@ from .crawl.engine import crawl_exact
 from .crawl.errors import action_for, parse_policy
 from .extract.changelog import condense, condensed_json
 from .extract.links import extract_links
+from .functions.datetimefn import format_datetime as _fmt_dt
 from .urlnorm import resolve_url
 
 
@@ -152,6 +153,8 @@ def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(ts, "yyyy-MM-dd").alias("iso_date"),
         F.unix_timestamp(ts).cast("long").alias("epoch"),
         F.date_format(F.date_add(ts.cast("date"), 7), "yyyy-MM-dd").alias("plus7"),
+        # fn:format-dateTime picture string (XPath 3.0 §9.8.4)
+        _fmt_dt(ts, "[D] [MNn] [Y], [H01]:[m01]").alias("picture"),
     )
 
 
