@@ -110,3 +110,20 @@ def test_canonicalize_is_arrow_vectorized(spark):
     plan = plan_of(q_url_canonicalize(spark, SF))
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bloom_probe_plan_is_broadcast_only(spark):
+    """the broadcast-regime bloom probe must be k hash lookups in one
+    codegen stage: every Exchange a BroadcastExchange, no Python, no
+    shuffle of the candidates."""
+    from xidel_spark.crawl.bloom import build_bloom, flag_candidates
+
+    seen = spark.range(2000).select(F.format_string("http://s/%d", "id").alias("url"))
+    bloom = build_bloom(seen, capacity=10_000, n_shards=4)
+    cand = spark.range(100).select(F.format_string("http://c/%d", "id").alias("url"))
+    plan = flag_candidates(cand, bloom)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    n_exchanges = plan.count("Exchange") - plan.count("BroadcastExchange") - plan.count("ReusedExchange")
+    assert n_exchanges <= 0, plan[:2000]
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "pythonUDF"):
+        assert marker not in plan

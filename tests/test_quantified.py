@@ -134,3 +134,22 @@ def test_matches_replace_encode(spark):
         encode_for_uri(F.lit("a b/c~d*e")),
     ])
     assert got == [True, False, "a<1>b<22>c", "a%20b%2Fc~d%2Ae"]
+
+
+def test_substring_xpath_rounding_rule(spark):
+    from xidel_spark.functions.strings import (
+        compare_strings, deep_equal, substring_xpath,
+    )
+
+    got = _one(spark, [
+        substring_xpath(F.lit("motor car"), 6),
+        substring_xpath(F.lit("metadata"), 4, 3),
+        substring_xpath(F.lit("12345"), 1.5, 2.6),   # spec example → '234'
+        substring_xpath(F.lit("12345"), 0, 3),       # clamp: round(0)=0 → '12'
+        substring_xpath(F.lit("12345"), -1, 4),      # → '12'
+        compare_strings(F.lit("a"), F.lit("b")),
+        compare_strings(F.lit("b"), F.lit("b")),
+        deep_equal(F.array(F.lit(1), F.lit(2)), F.array(F.lit(1), F.lit(2))),
+        deep_equal(F.array(F.lit(1)), F.array(F.lit(2))),
+    ])
+    assert got == [" car", "ada", "234", "12", "12", -1, 0, True, False]

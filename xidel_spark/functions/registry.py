@@ -83,6 +83,8 @@ def _builtin_registry() -> ModuleRegistry:
         "resolve-uri": resolve_url, "exists": lambda c: c.isNotNull(),
         "count": F.size, "sum": lambda c: F.aggregate(c, F.lit(0.0), lambda a, x: a + x),
         "matches": dt.matches, "replace": dt.replace_rx,
+        "substring": st.substring_xpath, "compare": st.compare_strings,
+        "deep-equal": st.deep_equal,
         "encode-for-uri": dt.encode_for_uri,
         "format-dateTime": dt.format_datetime, "format-date": dt.format_date,
         "format-time": dt.format_time,

@@ -77,3 +77,29 @@ def starts_with(col: Column, pre: str) -> Column:
 
 def ends_with(col: Column, suf: str) -> Column:
     return col.endswith(suf)
+
+
+def substring_xpath(col: Column, start, length=None) -> Column:
+    """fn:substring — 1-based with the XPath rounding rule: characters at
+    positions p with round(start) <= p < round(start) + round(length)
+    (round = half-to-positive-infinity), so substring('12345', 1.5, 2.6)
+    is '234' and out-of-range prefixes clamp instead of erroring."""
+    lit = lambda v: v if isinstance(v, Column) else F.lit(float(v))  # noqa: E731
+    b = F.floor(lit(start) + 0.5).cast("int")
+    if length is None:
+        lo = F.greatest(b, F.lit(1))
+        return F.substring(col, lo, F.length(col))
+    n = F.floor(lit(length) + 0.5).cast("int")
+    lo = F.greatest(b, F.lit(1))
+    cnt = F.greatest(b + n - lo, F.lit(0))
+    return F.substring(col, lo, cnt)
+
+
+def compare_strings(a: Column, b: Column) -> Column:
+    """fn:compare → -1 / 0 / 1."""
+    return F.when(a < b, -1).when(a > b, 1).otherwise(0)
+
+
+def deep_equal(a: Column, b: Column) -> Column:
+    """fn:deep-equal over sequence (array) columns — null-safe equality."""
+    return a.eqNullSafe(b)
