@@ -112,3 +112,15 @@ def test_per_request_error_policy(spark):
     assert by_policy[("ghost.xml", "4xx=retry")] == (404, "retry")
     assert by_policy[("ghost.xml", "404=ignore,4xx=retry")] == (404, "ignore")
     assert by_policy[("ghost.xml", "403=ignore,4xx=retry")] == (404, "retry")
+
+
+def test_cookie_first_batch_dedups_same_name(spark):
+    """regression: duplicate Set-Cookie for one (host,name) within the very
+    first batch (jar=None) must still collapse to one row, last write wins."""
+    resp = spark.createDataFrame(
+        [("http://a.com/x", "sid=1"), ("http://a.com/y", "sid=2")],
+        "url string, set_cookie string",
+    )
+    jar = update_jar(None, parse_set_cookie(resp))
+    rows = jar.where("name = 'sid'").collect()
+    assert len(rows) == 1 and rows[0]["value"] == "2"

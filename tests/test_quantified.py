@@ -55,10 +55,18 @@ def test_format_number_pictures(spark):
         q.format_number(F.lit(1234567.891), "#,##0.00"),
         q.format_number(F.lit(1234.5), "0.###"),
         q.format_number(F.lit(0.25), "0%"),
+        q.format_number(F.lit(1.0), "0.###"),
+        q.format_number(F.lit(1.25), "0.0##"),
+        q.format_number(F.lit(1.0), "0.0##"),
     ])
     assert got[0] == "1,234,567.89"
-    assert got[1] == "1234.500"
+    # '#' fraction digits are optional per the XSLT picture rules — trailing
+    # zeros beyond the mandatory '0' count are stripped
+    assert got[1] == "1234.5"
     assert got[2] == "25%"
+    assert got[3] == "1"
+    assert got[4] == "1.25"
+    assert got[5] == "1.0"
 
 
 def test_format_integer_pictures(spark):

@@ -186,3 +186,24 @@ def test_torn_wave_is_invisible(spark, cyclic_links, tmp_path):
     resumed = FrontierCrawler(spark, cyclic_links, store=store).run(SEEDS)
     full = FrontierCrawler(spark, cyclic_links).run(SEEDS)
     assert {r["url"] for r in resumed.seen.collect()} == {r["url"] for r in full.seen.collect()}
+
+
+def test_bloom_null_url_candidate_not_lost(spark):
+    """regression: a NULL-url candidate must land in exactly one split (the
+    maybe/exact-check side) in BOTH probe regimes, never vanish."""
+    import xidel_spark.crawl.bloom as bl
+    from xidel_spark.crawl.bloom import build_bloom, split_candidates
+
+    seen = spark.createDataFrame([(f"u{i}",) for i in range(100)], "url string")
+    bloom = build_bloom(seen, n_shards=2, capacity=1000)
+    cands = spark.createDataFrame([("u1",), (None,), ("x9",)], "url string")
+    for max_bits in (None, 0):  # broadcast regime, then distributed regime
+        old = bl.BROADCAST_MAX_BITS
+        if max_bits is not None:
+            bl.BROADCAST_MAX_BITS = max_bits
+        try:
+            new, maybe = split_candidates(cands, bloom)
+            assert new.count() + maybe.count() == 3
+            assert maybe.where(F.col("url").isNull()).count() == 1
+        finally:
+            bl.BROADCAST_MAX_BITS = old

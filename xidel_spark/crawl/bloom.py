@@ -187,6 +187,9 @@ def flag_candidates(
         maybe = conds[0]
         for c in conds[1:]:
             maybe = maybe & c
+        # NULL url probes nothing — route it to the maybe/exact-check side
+        # so both probe regimes agree (distributed path yields NULL→maybe)
+        maybe = F.when(F.col(url_col).isNull(), F.lit(True)).otherwise(maybe)
         drop = (
             ["__shard"]
             + [f"__b{i}" for i in range(k)]
@@ -226,6 +229,10 @@ def split_candidates(
     which errs toward 'new', and a false positive errs toward the exact
     check)."""
     flagged = flag_candidates(candidates, bloom, url_col)
-    definitely_new = flagged.where(~F.col("__maybe")).drop("__maybe")
-    maybe_seen = flagged.where(F.col("__maybe")).drop("__maybe")
+    # NULL verdict (e.g. a NULL url never matches the left join in the
+    # distributed probe) must not vanish from both splits — err toward the
+    # exact check so the two probe regimes agree and no row is lost
+    verdict = F.coalesce(F.col("__maybe"), F.lit(True))
+    definitely_new = flagged.where(~verdict).drop("__maybe")
+    maybe_seen = flagged.where(verdict).drop("__maybe")
     return definitely_new, maybe_seen

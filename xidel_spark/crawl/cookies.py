@@ -42,7 +42,16 @@ def update_jar(
     intra-batch `order` id breaks ties (same partition-ordering semantics
     the response batch arrived with)."""
     if jar is None:
-        return new_cookies.withColumn("generation", F.lit(0).cast("long"))
+        # generation 0 still needs the per-(host,name) last-write-wins pass:
+        # duplicate Set-Cookie headers for one (host,name) inside the first
+        # response batch must collapse to one jar row.
+        w0 = Window.partitionBy("host", "name").orderBy(F.desc("order"))
+        return (
+            new_cookies.withColumn("generation", F.lit(0).cast("long"))
+            .withColumn("__rn", F.row_number().over(w0))
+            .where("__rn = 1")
+            .drop("__rn")
+        )
     if generation is None:
         row = jar.agg(F.max("generation").alias("g")).first()
         generation = int(row["g"] or 0) + 1

@@ -90,10 +90,21 @@ def format_number(x: Column, picture: str) -> Column:
     percent = pic.endswith("%")
     if percent:
         pic = pic[:-1]
-    frac = len(pic.split(".", 1)[1]) if "." in pic else 0
+    frac_pic = pic.split(".", 1)[1] if "." in pic else ""
+    frac = len(frac_pic)  # total fraction positions (rounding precision)
+    min_frac = frac_pic.count("0")  # '#' positions are OPTIONAL digits
     grouped = "," in pic
     val = x * 100 if percent else x
     out = F.format_number(val.cast("double"), frac)
+    if min_frac < frac:
+        # strip trailing zeros beyond the mandatory '0' fraction digits;
+        # drop the '.' when no fraction digit remains (XSLT picture rule:
+        # format-number(1234.5, '0.###') = '1234.5', not '1234.500')
+        if min_frac == 0:
+            out = F.regexp_replace(out, r"\.?0+$", "")
+        else:
+            keep = rf"(\.\d{{{min_frac}}}\d*?)0+$"
+            out = F.regexp_replace(out, keep, r"$1")
     if not grouped:
         out = F.regexp_replace(out, ",", "")
     if percent:

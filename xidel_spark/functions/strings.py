@@ -96,8 +96,14 @@ def substring_xpath(col: Column, start, length=None) -> Column:
 
 
 def compare_strings(a: Column, b: Column) -> Column:
-    """fn:compare → -1 / 0 / 1."""
-    return F.when(a < b, -1).when(a > b, 1).otherwise(0)
+    """fn:compare → -1 / 0 / 1; empty-sequence (NULL) argument → empty
+    sequence (NULL), not 0 — fn:compare((), 'b') is (), never 'equal'."""
+    return (
+        F.when(a.isNull() | b.isNull(), F.lit(None).cast("int"))
+        .when(a < b, -1)
+        .when(a > b, 1)
+        .otherwise(0)
+    )
 
 
 def deep_equal(a: Column, b: Column) -> Column:

@@ -67,7 +67,7 @@ best AS (SELECT id, min(rank) AS rank FROM walk GROUP BY id)
 SELECT {url_expr()} AS url,
        rank,
        CAST(length(rank) / 8 - 1 AS INT) AS depth,
-       CAST(row_number() OVER (ORDER BY rank) AS INT) AS ord
+       CAST(row_number() OVER (ORDER BY rank) AS BIGINT) AS ord
 FROM best
 """
 
@@ -81,7 +81,7 @@ walk(id, rank, depth) AS (
   WHERE w.depth < 2
 )
 SELECT {url_expr()} AS url, rank, CAST(depth AS INT) AS depth,
-       CAST(row_number() OVER (ORDER BY rank) AS INT) AS ord
+       CAST(row_number() OVER (ORDER BY rank) AS BIGINT) AS ord
 FROM walk
 """
 

@@ -53,7 +53,7 @@ walk(id, rank) AS (
 best AS (SELECT id, min(rank) AS rank FROM walk GROUP BY id)
 SELECT {url_expr()} AS url, rank,
        CAST((id % 13) % 3 AS INT) AS priority,
-       CAST(row_number() OVER (ORDER BY (id % 13) % 3, rank) AS INT) AS fetch_seq
+       CAST(row_number() OVER (ORDER BY (id % 13) % 3, rank) AS BIGINT) AS fetch_seq
 FROM best
 """
 

@@ -50,11 +50,13 @@ def total_order(
         bases.append((r["__pid"], acc - r["__mn"] + 1))
         acc += r["__n"]
     if not bases:
-        return df.withColumn(out_col, F.lit(1).cast("int")).where(F.lit(False))
+        return df.withColumn(out_col, F.lit(1).cast("long")).where(F.lit(False))
     base_df = spark.createDataFrame(bases, "__pid int, __base long")
+    # the ordinal stays long: casting to int would CAST_OVERFLOW under ANSI
+    # beyond 2^31 rows — on the helper that exists to survive 100x scale
     return (
         tmp.join(F.broadcast(base_df), "__pid")
-        .withColumn(out_col, (F.col("__mid") + F.col("__base")).cast("int"))
+        .withColumn(out_col, F.col("__mid") + F.col("__base"))
         .drop("__pid", "__mid", "__base")
     )
 
