@@ -55,6 +55,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(EXT_QUERIES)
     out.update(SEL_QUERIES)
     out.update(JSON_QUERIES)
+    from xidel_spark.queries_expr import EXPR_QUERIES
+
+    out.update(EXPR_QUERIES)
     return out
 
 
@@ -85,4 +88,7 @@ def oracle_sql() -> dict[str, str]:
     from xidel_spark.oracle_json import JSON_ORACLES
 
     out.update(JSON_ORACLES)
+    from xidel_spark.oracle_expr import EXPR_ORACLES
+
+    out.update(EXPR_ORACLES)
     return out

@@ -1,0 +1,196 @@
+"""Expression-language goldens: the -e string surface (readme.txt:120-196),
+kind auto-detection (tests/tests.sh:423-452), weak typing + collation
+(readme.txt:167-176), and the pure-Catalyst collation key vs the Python
+reference implementation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xidel_spark.exprlang import compile_expr, detect_kind
+
+CASES = [
+    # arithmetic + precedence
+    ("1+2", "3"),
+    ("2 + 3 * 4", "14"),
+    ("(2 + 3) * 4", "20"),
+    ("7 div 2", "3.5"),
+    ("7 idiv 2", "3"),
+    ("-7 idiv 2", "-3"),
+    ("7 mod 2", "1"),
+    # weak typing (readme.txt:174-176)
+    ('1 + "2"', "3"),
+    ("'false' = false()", "true"),
+    ("(if (1 = 1) then 'true' else 'x') = true()", "true"),
+    # collation (readme.txt:167-173: '9xy' = '9XY' < '10XY' < 'xy')
+    ("'9xy' = '9XY'", "true"),
+    ("'9xy' < '10XY'", "true"),
+    ("'10XY' < 'xy'", "true"),
+    ("'abc' eq 'ABC'", "true"),
+    # numeric edge: XPath INF/NaN forms, not ANSI errors
+    ("string(1 div 0e0)", "INF"),
+    ("-1 div 0e0", "-INF"),
+    ("0e0 div 0e0", "NaN"),
+    ("4 mod 0e0", "NaN"),
+    # conditionals / logic
+    ("if (1 < 2) then 'a' else 'b'", "a"),
+    ("if (2 > 1 and 3 > 2 or 1 > 5) then 1 else 0", "1"),
+    ("not(0)", "true"),
+    ("boolean('')", "false"),
+    # FLWOR core
+    ("let $x := 5 return $x * 2", "10"),
+    ("let $a := 2, $b := 3 return $a * $b", "6"),
+    ("for $x in 1 to 3 return $x * $x", "1\n4\n9"),
+    ("for $x in (1,2), $y in (10,20) return $x * $y", "10\n20\n20\n40"),
+    ("for $x in 1 to 10 where $x mod 2 = 0 return $x", "2\n4\n6\n8\n10"),
+    # quantified
+    ("some $x in (1,2,3) satisfies $x > 2", "true"),
+    ("every $x in (1,2,3) satisfies $x > 2", "false"),
+    ("some $x in (1,2), $y in (3,4) satisfies $x + $y = 6", "true"),
+    # sequences, ranges, predicates
+    ("5 to 1", ""),
+    ("count((1,2,3))", "3"),
+    ("(1,2,3)[2]", "2"),
+    ("(1,2,3)[. > 1]", "2\n3"),
+    ("(10,20,30)[position() = last()]", "30"),
+    ("(1,2,3) = 3", "true"),
+    ("(1,2,3) = 5", "false"),
+    # strings
+    ("'a' || 'b' || 'c'", "abc"),
+    ("concat('x', 1+1, 'y')", "x2y"),
+    ("string-join(for $i in 1 to 5 return string($i), ',')", "1,2,3,4,5"),
+    ('x"There are {1+2+3} elements"', "There are 6 elements"),
+    ('x"a{{b}}c"', "a{b}c"),
+    ("upper-case('ab')", "AB"),
+    ("substring-before('a=b', '=')", "a"),
+    # aggregates over sequences
+    ("sum((1,2,3))", "6"),
+    ("avg((2,4))", "3"),
+    ("max((1,9,4))", "9"),
+    ("min((3,1,4))", "1"),
+    # casts
+    ("3.14 cast as xs:integer", "3"),
+    ("'42' cast as xs:double", "42"),
+    ("42 cast as xs:string || '!'", "42!"),
+]
+
+
+def test_expression_goldens(spark):
+    df = spark.range(1)
+    cols = [
+        compile_expr(src).string().alias(f"c{i}") for i, (src, _) in enumerate(CASES)
+    ]
+    row = df.select(*cols).first()
+    for i, (src, want) in enumerate(CASES):
+        assert row[f"c{i}"] == want, f"{src!r}: want {want!r} got {row[f'c{i}']!r}"
+
+
+NODE_CASES = [
+    # tests/tests.sh:448-452 xpath8/9/10 over '<a>3</a>'
+    (" 3 + . ", "6"),
+    (" . + 3 ", "6"),
+    (" . ", "3"),
+    (" . eq . ", "true"),
+    ("//a", "3"),
+    ("count(//a)", "1"),
+    ("string-length(.)", "1"),
+    ("let $x := //a return $x", "3"),
+    ("for $x in //a return concat($x, '!')", "3!"),
+    ("if (//a = 3) then 'y' else 'n'", "y"),
+]
+
+
+def test_expression_node_context(spark):
+    from xidel_spark.extract.nodes import parse_auto_nodes
+
+    nd = (
+        spark.createDataFrame([("<a>3</a>",)], "m string")
+        .select(parse_auto_nodes(F.col("m")).alias("nodes"))
+        .localCheckpoint()
+    )
+    cols = [
+        compile_expr(src).string(nodes=F.col("nodes")).alias(f"c{i}")
+        for i, (src, _) in enumerate(NODE_CASES)
+    ]
+    row = nd.select(*cols).first()
+    for i, (src, want) in enumerate(NODE_CASES):
+        assert row[f"c{i}"] == want, f"{src!r}: want {want!r} got {row[f'c{i}']!r}"
+
+
+def test_env_bindings(spark):
+    df = spark.createDataFrame([(7, "x")], "a long, s string")
+    env = {"a": F.col("a"), "s": F.col("s")}
+    got = df.select(
+        compile_expr("$a * 2").string(env=env).alias("v1"),
+        compile_expr("$s || string($a)").string(env=env).alias("v2"),
+        compile_expr("if ($a > 5) then 'big' else 'small'").string(env=env).alias("v3"),
+    ).first()
+    assert (got["v1"], got["v2"], got["v3"]) == ("14", "x7", "big")
+
+
+def test_kind_auto_detection():
+    """tests/tests.sh:423-452 pins: css2 → a.foobar is CSS; xpath4/5/6 bare
+    names and //-paths are XPath; xquery4/5 let/for are XPath/XQuery;
+    template starts with '<'; xpath8/9/10 full expressions are XPath."""
+    assert detect_kind("a.foobar") == "css"
+    assert detect_kind("   a.foobar   ") == "css"
+    assert detect_kind("a#id") == "css"
+    assert detect_kind("html") == "xpath"
+    assert detect_kind("a") == "xpath"
+    assert detect_kind("//a") == "xpath"
+    assert detect_kind("    //a   ") == "xpath"
+    assert detect_kind("let    $x := //a return $x") == "xpath"
+    assert detect_kind("'&gt;'") == "xpath"
+    assert detect_kind('"x"') == "xpath"
+    assert detect_kind(" 3 + . ") == "xpath"
+    assert detect_kind(" . ") == "xpath"
+    assert detect_kind(" . eq . ") == "xpath"
+    assert detect_kind('<a class="foobar">{.}</a>') == "pattern"
+    assert detect_kind("concat(//title, 'x')") == "xpath"
+
+
+def test_routing_errors():
+    """constructs that live in library operators raise a routing message
+    instead of silently mis-parsing."""
+    for src in [
+        "for tumbling window $x in //a start when true() return 1",
+        "$var := 12",
+        "for $x in (1,2) order by $x return $x",
+    ]:
+        with pytest.raises(ValueError):
+            compile_expr(src)
+
+
+def test_collation_key_expr_matches_python(spark):
+    """the pure-Catalyst collation key must be byte-identical to the Python
+    reference key (collation_key_one) — it feeds every string comparison
+    the expression language compiles."""
+    from xidel_spark.functions.collation import collation_key_expr, collation_key_one
+
+    vals = [
+        "", "9xy", "9XY", "10XY", "xy", "a01b002", "0", "000",
+        "x" + "1" * 30 + "y", "A1B2C3", "  spaces  ", "ALLCAPS", "123",
+        "v1.2.3-alpha", None,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    rows = {
+        r["s"]: r["k"]
+        for r in df.select("s", collation_key_expr(F.col("s")).alias("k")).collect()
+    }
+    for v in vals:
+        assert rows[v] == collation_key_one(v), repr(v)
+
+
+def test_no_python_udf_in_expression_plan(spark):
+    """expressions must stay in codegen: no BatchEvalPython / ArrowEval
+    nodes in the physical plan."""
+    df = spark.range(10).select(F.col("id").cast("long").alias("a"))
+    out = df.select(
+        compile_expr("if ($a > 5) then 'big' else 'small'")
+        .string(env={"a": F.col("a")})
+        .alias("v"),
+        compile_expr("'x' || string($a) < 'x' || string($a + 1)")
+        .string(env={"a": F.col("a")})
+        .alias("w"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

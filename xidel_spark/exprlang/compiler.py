@@ -1,0 +1,729 @@
+"""Expression compiler: AST → pure Catalyst columns.
+
+Value model: a compile-time-typed value TV(col, kind), kind one of
+  'long' 'double' 'string' 'bool' 'null' 'any'        (scalars)
+  'nodes'                                             (array<int> node ids)
+  'seq:<scalar-kind>'                                 (array columns)
+
+Everything compiles to built-in pyspark.sql.functions — no Python UDFs, so
+expressions stay in whole-stage codegen and embed inside higher-order
+lambdas (for/some/every compile to transform/exists/forall).
+
+Weak-typing rules (readme.txt:167-176):
+  * arithmetic coerces operands with try_cast (1 + "2" = 3);
+  * general comparison dispatches on static kinds: numeric if either side
+    is numeric, boolean if either side is boolean ('false' = false() is
+    true), else xidel's case-insensitive numeric-aware collation
+    ('9xy' = '9XY' < '10XY' < 'xy') via the pure-Catalyst collation key;
+  * sequences compare existentially (//a = 'x' ⇔ some item equals).
+
+Node-set atomization takes the node's string value (extract/nodes.py keeps
+the full string value on each node row).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Mapping
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..extract.xpath import Path, _eval_steps
+from ..functions.collation import collation_key_expr
+from . import parser as P
+
+NUM_KINDS = {"long", "double"}
+_SPARK_TYPE = {
+    "long": "bigint",
+    "double": "double",
+    "string": "string",
+    "bool": "boolean",
+    "nodes": "int",
+    "null": "string",
+    "any": "string",
+}
+
+
+@dataclass
+class TV:
+    col: Column
+    kind: str
+
+    @property
+    def is_seq(self) -> bool:
+        return self.kind == "nodes" or self.kind.startswith("seq:")
+
+    @property
+    def elem_kind(self) -> str:
+        if self.kind == "nodes":
+            return "nodes"  # one node id — context items stay node-kinded
+        if self.kind.startswith("seq:"):
+            return self.kind[4:]
+        return self.kind
+
+
+def _empty_seq(elem_kind: str) -> Column:
+    return F.array().cast(f"array<{_SPARK_TYPE.get(elem_kind, 'string')}>")
+
+
+class Compiler:
+    """One compilation context: variable env + optional node array/context.
+
+    env values may be plain Columns (kind 'any') or TVs. `nodes` is the
+    per-row node-struct array (extract/nodes.py) that path expressions
+    evaluate against; `ctx` is the context item for '.' (defaults to the
+    document root node when `nodes` is given).
+    """
+
+    def __init__(
+        self,
+        env: Mapping[str, Column | TV] | None = None,
+        nodes: Column | None = None,
+        ctx: TV | None = None,
+        pos: Column | None = None,
+        size: Column | None = None,
+    ):
+        self.env = dict(env or {})
+        self.nodes = nodes
+        if ctx is None and nodes is not None:
+            ctx = TV(F.array(F.lit(0).cast("int")), "nodes")
+        self.ctx = ctx
+        self.pos = pos
+        self.size = size
+
+    def bind(self, **kw) -> "Compiler":
+        c = Compiler(self.env, self.nodes, self.ctx, self.pos, self.size)
+        for k, v in kw.items():
+            if k == "__ctx":
+                c.ctx = v
+            elif k == "__pos":
+                c.pos = v
+            elif k == "__size":
+                c.size = v
+            else:
+                c.env[k] = v
+        return c
+
+    # -- coercions ----------------------------------------------------------
+
+    def _first(self, tv: TV) -> TV:
+        """first item of a sequence (XPath scalar contexts atomize)."""
+        if tv.kind == "nodes":
+            return TV(self._node_text(F.element_at(tv.col, 1)), "string")
+        if tv.kind.startswith("seq:"):
+            return TV(F.element_at(tv.col, 1), tv.elem_kind)
+        return tv
+
+    def _node_text(self, node_id: Column) -> Column:
+        if self.nodes is None:
+            raise ValueError("expr: node value requested without a node array")
+        return F.element_at(self.nodes, node_id.cast("int") + 1)["text"]
+
+    def to_number(self, tv: TV) -> Column:
+        tv = self._first(tv)
+        if tv.kind == "double":
+            return tv.col
+        if tv.kind == "long":
+            return tv.col.cast("double")
+        if tv.kind == "bool":
+            return F.when(tv.col, F.lit(1.0)).otherwise(F.lit(0.0))
+        return tv.col.cast("string").try_cast("double")
+
+    def to_long(self, tv: TV) -> Column:
+        tv = self._first(tv)
+        if tv.kind == "long":
+            return tv.col
+        return self.to_number(tv).cast("long")
+
+    def to_string(self, tv: TV) -> Column:
+        tv = self._first(tv)
+        if tv.kind == "string":
+            return tv.col
+        if tv.kind == "long":
+            return tv.col.cast("string")
+        if tv.kind == "double":
+            c = tv.col
+            return (
+                F.when(F.isnan(c), F.lit("NaN"))
+                .when(c == F.lit(float("inf")), F.lit("INF"))
+                .when(c == F.lit(float("-inf")), F.lit("-INF"))
+                .when(
+                    (c == F.floor(c)) & (F.abs(c) < F.lit(1e15)),
+                    c.cast("long").cast("string"),
+                )
+                .otherwise(c.cast("string"))
+            )
+        if tv.kind == "bool":
+            return F.when(tv.col, F.lit("true")).otherwise(F.lit("false"))
+        return tv.col.cast("string")
+
+    def ebv(self, tv: TV) -> Column:
+        """effective boolean value (XPath 2.0 §2.4.3)."""
+        if tv.is_seq:
+            return F.size(tv.col) > 0
+        if tv.kind == "bool":
+            return F.coalesce(tv.col, F.lit(False))
+        if tv.kind in NUM_KINDS:
+            c = tv.col.cast("double")
+            return F.coalesce((c != 0) & ~F.isnan(c), F.lit(False))
+        if tv.kind == "null":
+            return F.lit(False)
+        return F.coalesce(F.length(tv.col.cast("string")) > 0, F.lit(False))
+
+    def to_seq(self, tv: TV) -> TV:
+        if tv.is_seq:
+            return tv
+        col = F.when(tv.col.isNull(), _empty_seq(tv.kind)).otherwise(F.array(tv.col))
+        return TV(col, f"seq:{tv.kind}")
+
+    def atomize_seq(self, tv: TV) -> TV:
+        """sequence of strings (node sets → string values)."""
+        if tv.kind == "nodes":
+            return TV(
+                F.transform(tv.col, lambda i: self._node_text(i)), "seq:string"
+            )
+        return self.to_seq(tv)
+
+    # -- dispatch -------------------------------------------------------------
+
+    def compile(self, ast) -> TV:
+        m = getattr(self, "_c_" + type(ast).__name__.lower(), None)
+        if m is None:
+            raise ValueError(f"expr: no compiler for {type(ast).__name__}")
+        return m(ast)
+
+    # -- leaves ---------------------------------------------------------------
+
+    def _c_lit(self, n: P.Lit) -> TV:
+        if n.kind == "null":
+            return TV(F.lit(None).cast("string"), "null")
+        return TV(F.lit(n.value), n.kind)
+
+    def _c_varref(self, n: P.VarRef) -> TV:
+        if n.name not in self.env:
+            raise ValueError(f"expr: unbound variable ${n.name}")
+        v = self.env[n.name]
+        return v if isinstance(v, TV) else TV(v, "any")
+
+    def _c_contextitem(self, n: P.ContextItem) -> TV:
+        if self.ctx is None:
+            raise ValueError("expr: '.' used without a context item")
+        return self.ctx
+
+    def _c_xstring(self, n: P.XString) -> TV:
+        cols = [
+            F.lit(p) if isinstance(p, str) else F.coalesce(self.to_string(self.compile(p)), F.lit(""))
+            for p in n.parts
+        ]
+        return TV(F.concat(*cols) if cols else F.lit(""), "string")
+
+    # -- paths ----------------------------------------------------------------
+
+    def _path_value(self, ids: Column, path: Path) -> TV:
+        if path.attr is not None:
+            attr = path.attr
+            vals = F.transform(
+                ids,
+                lambda i: F.try_element_at(
+                    F.element_at(self.nodes, i.cast("int") + 1)["attrs"], F.lit(attr)
+                ),
+            )
+            return TV(F.filter(vals, lambda v: v.isNotNull()), "seq:string")
+        return TV(ids, "nodes")
+
+    def _c_pathroot(self, n: P.PathRoot) -> TV:
+        if self.nodes is None:
+            raise ValueError(f"expr: path used without a node array")
+        root = self.ctx.col if (self.ctx and self.ctx.kind == "nodes") else F.array(
+            F.lit(0).cast("int")
+        )
+        return self._path_value(_eval_steps(self.nodes, root, n.path), n.path)
+
+    def _c_pathapply(self, n: P.PathApply) -> TV:
+        base = self.compile(n.base)
+        if base.kind != "nodes":
+            raise ValueError("expr: '/' step applied to a non-node value")
+        return self._path_value(_eval_steps(self.nodes, base.col, n.path), n.path)
+
+    # -- sequences --------------------------------------------------------------
+
+    def _unify(self, tvs: list[TV]) -> tuple[list[Column], str]:
+        kinds = {t.kind for t in tvs}
+        if kinds <= {"long"}:
+            return [t.col for t in tvs], "long"
+        if kinds <= NUM_KINDS:
+            return [t.col.cast("double") for t in tvs], "double"
+        if kinds <= {"bool"}:
+            return [t.col for t in tvs], "bool"
+        return [self.to_string(t) for t in tvs], "string"
+
+    def _seq_cast(self, t: TV, kind: str) -> Column:
+        """t as array<kind> (t already scalar-or-seq of a unifiable kind)."""
+        seq = t if t.is_seq else self.to_seq(t)
+        if seq.elem_kind == kind:
+            return seq.col
+        if kind == "string":
+            ek = seq.elem_kind
+            return F.transform(seq.col, lambda x: self.to_string(TV(x, ek)))
+        return F.transform(seq.col, lambda x: x.cast(_SPARK_TYPE[kind]))
+
+    def _c_seqexpr(self, n: P.SeqExpr) -> TV:
+        if not n.items:
+            return TV(_empty_seq("string"), "seq:string")
+        parts = [self.compile(i) for i in n.items]
+        parts = [self.atomize_seq(p) if p.kind == "nodes" else p for p in parts]
+        elems = {p.elem_kind for p in parts}
+        if elems <= {"long"}:
+            kind = "long"
+        elif elems <= NUM_KINDS:
+            kind = "double"
+        elif elems <= {"bool"}:
+            kind = "bool"
+        elif elems <= {"string"}:
+            kind = "string"
+        else:  # mixed atomic types: store as strings (printed form)
+            kind = "string"
+        return TV(F.concat(*[self._seq_cast(p, kind) for p in parts]), f"seq:{kind}")
+
+    def _c_rangeexpr(self, n: P.RangeExpr) -> TV:
+        lo = self.to_long(self.compile(n.lo))
+        hi = self.to_long(self.compile(n.hi))
+        # '5 to 1' is the EMPTY sequence (F.sequence would count down)
+        col = F.when(lo <= hi, F.sequence(lo, hi)).otherwise(_empty_seq("long"))
+        return TV(col, "seq:long")
+
+    def _c_filterexpr(self, n: P.FilterExpr) -> TV:
+        cur = self.compile(n.base)
+        for pred in n.preds:
+            seq = cur if cur.is_seq else self.to_seq(cur)
+            ek = seq.elem_kind
+            out_kind = seq.kind if seq.kind != "nodes" else "nodes"
+
+            size = F.size(seq.col)
+
+            # closure factory, NOT default args — PySpark inspects the HOF
+            # lambda's signature and rejects extra (defaulted) parameters
+            def make_fn(pred, ek, size):
+                def fn(el, i):
+                    ctx = TV(F.array(el), "nodes") if ek == "nodes" else TV(el, ek)
+                    sub = self.bind(__ctx=ctx, __pos=i + 1, __size=size)
+                    tv = sub.compile(pred)
+                    if tv.kind in NUM_KINDS:  # numeric predicate = position test
+                        return (i + 1).cast("double") == sub.to_number(tv)
+                    return sub.ebv(tv)
+
+                return fn
+
+            cur = TV(F.filter(seq.col, make_fn(pred, ek, size)), out_kind)
+        return cur
+
+    # -- operators ---------------------------------------------------------------
+
+    def _c_unaryop(self, n: P.UnaryOp) -> TV:
+        v = self.compile(n.expr)
+        if n.op == "+":
+            return TV(self.to_number(v), "double") if v.kind not in NUM_KINDS else v
+        if v.kind == "long":
+            return TV(-v.col, "long")
+        return TV(-self.to_number(v), "double")
+
+    def _c_binop(self, n: P.BinOp) -> TV:
+        op = n.op
+        if op in ("and", "or"):
+            l, r = self.ebv(self.compile(n.left)), self.ebv(self.compile(n.right))
+            return TV(l & r if op == "and" else l | r, "bool")
+        if op == "||":
+            l = F.coalesce(self.to_string(self.compile(n.left)), F.lit(""))
+            r = F.coalesce(self.to_string(self.compile(n.right)), F.lit(""))
+            return TV(F.concat(l, r), "string")
+        if op == "|":
+            l, r = self.compile(n.left), self.compile(n.right)
+            if l.kind != "nodes" or r.kind != "nodes":
+                raise ValueError("expr: '|' union requires node sequences")
+            return TV(F.array_sort(F.array_distinct(F.concat(l.col, r.col))), "nodes")
+        if op in ("+", "-", "*", "div", "idiv", "mod"):
+            return self._arith(op, self.compile(n.left), self.compile(n.right))
+        return self._compare(op, self.compile(n.left), self.compile(n.right))
+
+    def _arith(self, op: str, l: TV, r: TV) -> TV:
+        both_long = l.kind == "long" and r.kind == "long"
+        if both_long and op in ("+", "-", "*", "idiv", "mod"):
+            a, b = l.col, r.col
+            if op == "+":
+                return TV(a + b, "long")
+            if op == "-":
+                return TV(a - b, "long")
+            if op == "*":
+                return TV(a * b, "long")
+            if op == "idiv":
+                # XPath idiv truncates toward zero (Spark's long div would
+                # too, but route through double for the shared zero guard)
+                ad, bd = a.cast("double"), b.cast("double")
+                return TV(F.when(bd != 0, ad / bd).cast("long"), "long")
+            return TV(a % b, "long")
+        a, b = self.to_number(l), self.to_number(r)
+        if op == "+":
+            return TV(a + b, "double")
+        if op == "-":
+            return TV(a - b, "double")
+        if op == "*":
+            return TV(a * b, "double")
+        if op == "div":
+            # XPath double division: x div 0 = ±INF, 0 div 0 = NaN — ANSI
+            # Spark raises DIVIDE_BY_ZERO instead, so branch explicitly
+            # (CaseWhen evaluates per-row lazily, the a/b arm never sees 0)
+            zero = F.when(a > 0, F.lit(float("inf"))).when(
+                a < 0, F.lit(float("-inf"))
+            ).when(a == 0, F.lit(float("nan")))
+            return TV(F.when(b == 0, zero).otherwise(a / b), "double")
+        if op == "idiv":
+            return TV(F.when(b != 0, a / b).cast("long"), "long")
+        return TV(F.when(b == 0, F.lit(float("nan"))).otherwise(a % b), "double")
+
+    _GENERAL = {"=", "!=", "<", "<=", ">", ">="}
+    _VALUE = {"eq": "=", "ne": "!=", "lt": "<", "le": "<=", "gt": ">", "ge": ">="}
+
+    def _compare(self, op: str, l: TV, r: TV) -> TV:
+        if op in self._VALUE:  # value comparison: scalars, same dispatch
+            return TV(self._cmp_scalar(self._VALUE[op], self._first(l), self._first(r)), "bool")
+        # general comparison: existential over sequences
+        if l.is_seq and r.is_seq:
+            ls, rs = self.atomize_seq(l), self.atomize_seq(r)
+            col = F.exists(
+                ls.col,
+                lambda a: F.exists(
+                    rs.col, lambda b: self._cmp_scalar(op, TV(a, ls.elem_kind), TV(b, rs.elem_kind))
+                ),
+            )
+            return TV(col, "bool")
+        if l.is_seq or r.is_seq:
+            seq, scalar, flip = (l, r, False) if l.is_seq else (r, l, True)
+            ss = self.atomize_seq(seq)
+            sc = self._first(scalar)
+
+            def one(a):
+                lt = TV(a, ss.elem_kind)
+                return (
+                    self._cmp_scalar(op, sc, lt) if flip else self._cmp_scalar(op, lt, sc)
+                )
+
+            return TV(F.exists(ss.col, one), "bool")
+        return TV(self._cmp_scalar(op, l, r), "bool")
+
+    def _cmp_scalar(self, op: str, l: TV, r: TV) -> Column:
+        # nodes that reach scalar comparison atomize to string values
+        if l.kind == "nodes":
+            l = self._first(l)
+        if r.kind == "nodes":
+            r = self._first(r)
+        if l.kind in NUM_KINDS or r.kind in NUM_KINDS or (
+            l.kind == "any" and r.kind == "any"
+        ):
+            if l.kind == "any" and r.kind == "any":
+                # dynamic: numeric when both castable, else collation strings
+                ln, rn = l.col.try_cast("double"), r.col.try_cast("double")
+                return F.when(
+                    ln.isNotNull() & rn.isNotNull(), self._cmp_op(op, ln, rn)
+                ).otherwise(
+                    self._cmp_op(
+                        op,
+                        collation_key_expr(l.col.cast("string")),
+                        collation_key_expr(r.col.cast("string")),
+                    )
+                )
+            return self._cmp_op(op, self.to_number(l), self.to_number(r))
+        if l.kind == "bool" or r.kind == "bool":
+            return self._cmp_op(op, self._as_bool(l), self._as_bool(r))
+        return self._cmp_op(
+            op, collation_key_expr(self.to_string(l)), collation_key_expr(self.to_string(r))
+        )
+
+    def _as_bool(self, tv: TV) -> Column:
+        if tv.kind == "bool":
+            return tv.col
+        s = F.lower(F.trim(self.to_string(tv)))
+        return (
+            F.when(s.isin("true", "1"), F.lit(True))
+            .when(s.isin("false", "0"), F.lit(False))
+            .otherwise(F.lit(None).cast("boolean"))
+        )
+
+    @staticmethod
+    def _cmp_op(op: str, a: Column, b: Column) -> Column:
+        if op == "=":
+            return a == b
+        if op == "!=":
+            return a != b
+        if op == "<":
+            return a < b
+        if op == "<=":
+            return a <= b
+        if op == ">":
+            return a > b
+        return a >= b
+
+    # -- control flow -----------------------------------------------------------
+
+    def _c_ifexpr(self, n: P.IfExpr) -> TV:
+        cond = self.ebv(self.compile(n.cond))
+        t, e = self.compile(n.then), self.compile(n.els)
+        if t.kind == e.kind:
+            return TV(F.when(cond, t.col).otherwise(e.col), t.kind)
+        if t.is_seq or e.is_seq:
+            ts, es = self.atomize_seq(t) if t.is_seq else self.to_seq(t), (
+                self.atomize_seq(e) if e.is_seq else self.to_seq(e)
+            )
+            if ts.kind != es.kind:
+                ts = TV(
+                    F.transform(ts.col, lambda x: self.to_string(TV(x, ts.elem_kind))),
+                    "seq:string",
+                )
+                es = TV(
+                    F.transform(es.col, lambda x: self.to_string(TV(x, es.elem_kind))),
+                    "seq:string",
+                )
+            return TV(F.when(cond, ts.col).otherwise(es.col), ts.kind)
+        cols, kind = self._unify([t, e])
+        return TV(F.when(cond, cols[0]).otherwise(cols[1]), kind)
+
+    def _c_quant(self, n: P.Quant) -> TV:
+        def go(i: int, comp: "Compiler") -> Column:
+            if i == len(n.clauses):
+                return comp.ebv(comp.compile(n.cond))
+            var, src = n.clauses[i]
+            tv = comp.compile(src)
+            seq = tv if tv.is_seq else comp.to_seq(tv)
+            ek = seq.elem_kind
+
+            def body(el):
+                bound = comp.bind(**{var: TV(F.array(el), "nodes") if ek == "nodes" else TV(el, ek)})
+                return go(i + 1, bound)
+
+            hof = F.exists if n.mode == "some" else F.forall
+            return hof(seq.col, body)
+
+        return TV(go(0, self), "bool")
+
+    def _c_flwor(self, n: P.Flwor) -> TV:
+        out_kind: list[str] = []
+
+        def go(i: int, comp: "Compiler") -> Column:
+            """returns an ARRAY column of results for the remaining clauses."""
+            if i == len(n.clauses):
+                body = comp.compile(n.ret)
+                body_seq = body if body.is_seq else comp.to_seq(body)
+                if body_seq.kind == "nodes":
+                    body_seq = comp.atomize_seq(body_seq)
+                out_kind.append(body_seq.elem_kind)
+                col = body_seq.col
+                if n.where is not None:
+                    cond = comp.ebv(comp.compile(n.where))
+                    col = F.when(cond, col).otherwise(_empty_seq(body_seq.elem_kind))
+                return col
+            word, var, src = n.clauses[i]
+            if word == "let":
+                return go(i + 1, comp.bind(**{var: comp.compile(src)}))
+            tv = comp.compile(src)
+            seq = tv if tv.is_seq else comp.to_seq(tv)
+            ek = seq.elem_kind
+
+            def body(el):
+                bound = comp.bind(
+                    **{var: TV(F.array(el), "nodes") if ek == "nodes" else TV(el, ek)}
+                )
+                return go(i + 1, bound)
+
+            return F.flatten(F.transform(seq.col, body))
+
+        col = go(0, self)
+        return TV(col, f"seq:{out_kind[0] if out_kind else 'string'}")
+
+    # -- casts / calls -------------------------------------------------------------
+
+    _CASTS = {
+        "xs:integer": ("to_long", "long"),
+        "xs:int": ("to_long", "long"),
+        "xs:long": ("to_long", "long"),
+        "xs:double": ("to_number", "double"),
+        "xs:float": ("to_number", "double"),
+        "xs:string": ("to_string", "string"),
+        "xs:untypedAtomic": ("to_string", "string"),
+        "xs:boolean": ("_as_bool", "bool"),
+    }
+
+    def _c_castas(self, n: P.CastAs) -> TV:
+        v = self._first(self.compile(n.expr))
+        t = n.type_qname if ":" in n.type_qname else f"xs:{n.type_qname}"
+        if t == "xs:decimal":
+            return TV(self.to_number(v).cast("decimal(38,18)").cast("double"), "double")
+        if t in self._CASTS:
+            meth, kind = self._CASTS[t]
+            return TV(getattr(self, meth)(v), kind)
+        from ..functions.registry import BUILTINS
+
+        try:  # xs constructor lattice (functions/xsd.py) via the registry
+            return TV(BUILTINS.call(t, v.col), "any")
+        except KeyError:
+            raise ValueError(f"expr: unsupported cast target {t!r}") from None
+
+    def _c_call(self, n: P.Call) -> TV:
+        name = n.qname
+        local = name.split(":", 1)[-1]
+        args = [self.compile(a) for a in n.args]
+        sf = getattr(self, "_f_" + local.replace("-", "_"), None)
+        if sf is not None:
+            return sf(args)
+        from ..functions.registry import BUILTINS
+
+        fn = BUILTINS.resolve(name if ":" in name else f"fn:{name}")
+        cols = []
+        for a in args:
+            if a.kind == "nodes":
+                cols.append(self.to_string(a))
+            else:
+                cols.append(a.col)
+        return TV(fn(*cols), "any")
+
+    # special forms: functions whose semantics need the typed value model
+    def _f_string(self, args: list[TV]) -> TV:
+        src = args[0] if args else self.ctx
+        if src is None:
+            raise ValueError("expr: string() without context")
+        return TV(F.coalesce(self.to_string(src), F.lit("")), "string")
+
+    def _f_number(self, args: list[TV]) -> TV:
+        src = args[0] if args else self.ctx
+        if src is None:
+            raise ValueError("expr: number() without context")
+        n = self.to_number(src)
+        return TV(F.coalesce(n, F.lit(float("nan"))), "double")
+
+    def _f_boolean(self, args: list[TV]) -> TV:
+        return TV(self.ebv(args[0]), "bool")
+
+    def _f_not(self, args: list[TV]) -> TV:
+        return TV(~self.ebv(args[0]), "bool")
+
+    def _f_count(self, args: list[TV]) -> TV:
+        tv = args[0]
+        if tv.is_seq:
+            return TV(F.size(tv.col).cast("long"), "long")
+        return TV(
+            F.when(tv.col.isNull(), F.lit(0)).otherwise(F.lit(1)).cast("long"), "long"
+        )
+
+    def _f_exists(self, args: list[TV]) -> TV:
+        tv = args[0]
+        col = F.size(tv.col) > 0 if tv.is_seq else tv.col.isNotNull()
+        return TV(col, "bool")
+
+    def _f_empty(self, args: list[TV]) -> TV:
+        return TV(~self._f_exists(args).col, "bool")
+
+    def _f_concat(self, args: list[TV]) -> TV:
+        cols = [F.coalesce(self.to_string(a), F.lit("")) for a in args]
+        return TV(F.concat(*cols), "string")
+
+    def _f_string_join(self, args: list[TV]) -> TV:
+        seq = self.atomize_seq(args[0])
+        if seq.elem_kind != "string":
+            seq = TV(
+                F.transform(seq.col, lambda x: self.to_string(TV(x, seq.elem_kind))),
+                "seq:string",
+            )
+        sep = self.to_string(args[1]) if len(args) > 1 else F.lit("")
+        # F.array_join's python wrapper wants a str delimiter; the SQL
+        # builtin takes a column — call it directly
+        return TV(F.call_function("array_join", seq.col, sep), "string")
+
+    def _f_join(self, args: list[TV]) -> TV:
+        if len(args) == 1:
+            args = [args[0], TV(F.lit(" "), "string")]
+        return self._f_string_join(args)
+
+    def _f_sum(self, args: list[TV]) -> TV:
+        seq = self.atomize_seq(args[0])
+        col = F.aggregate(
+            seq.col,
+            F.lit(0.0),
+            lambda acc, x: acc + F.coalesce(self.to_number(TV(x, seq.elem_kind)), F.lit(0.0)),
+        )
+        return TV(col, "double")
+
+    def _f_avg(self, args: list[TV]) -> TV:
+        s = self._f_sum(args)
+        n = F.size(self.atomize_seq(args[0]).col)
+        return TV(F.when(n > 0, s.col / n).otherwise(F.lit(None).cast("double")), "double")
+
+    def _f_min(self, args: list[TV]) -> TV:
+        return self._minmax(args[0], F.array_min)
+
+    def _f_max(self, args: list[TV]) -> TV:
+        return self._minmax(args[0], F.array_max)
+
+    def _minmax(self, tv: TV, agg) -> TV:
+        seq = self.atomize_seq(tv)
+        if seq.elem_kind in NUM_KINDS:
+            return TV(agg(seq.col), seq.elem_kind)
+        nums = F.transform(seq.col, lambda x: x.cast("string").try_cast("double"))
+        return TV(
+            F.when(~F.exists(nums, lambda x: x.isNull()), agg(nums)).otherwise(
+                agg(F.transform(seq.col, lambda x: collation_key_expr(x)))
+            ),
+            "any",
+        )
+
+    def _f_last(self, args: list[TV]) -> TV:
+        if self.size is None:
+            raise ValueError("expr: last() outside a predicate")
+        return TV(self.size.cast("long"), "long")
+
+    def _f_position(self, args: list[TV]) -> TV:
+        if self.pos is None:
+            raise ValueError("expr: position() outside a predicate")
+        return TV(self.pos.cast("long"), "long")
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+class CompiledExpr:
+    """compile once, evaluate as a Column under any env/node binding."""
+
+    def __init__(self, source: str):
+        self.source = source
+        self.ast = P.parse_expr(source)
+
+    def tv(self, env=None, nodes=None, ctx=None) -> TV:
+        c = Compiler(env=env, nodes=nodes, ctx=ctx)
+        return c.compile(self.ast)
+
+    def column(self, env=None, nodes=None, ctx=None) -> Column:
+        """native-typed result column (arrays for sequence values)."""
+        return self.tv(env, nodes, ctx).col
+
+    def values(self, env=None, nodes=None, ctx=None) -> Column:
+        """array<string> of printed items — the reference's -e output model
+        (one line per sequence item)."""
+        c = Compiler(env=env, nodes=nodes, ctx=ctx)
+        tv = c.compile(self.ast)
+        if tv.is_seq:
+            seq = c.atomize_seq(tv)
+            if seq.elem_kind != "string":
+                return F.transform(
+                    seq.col, lambda x: c.to_string(TV(x, seq.elem_kind))
+                )
+            return seq.col
+        s = c.to_string(tv)
+        return F.when(s.isNull(), _empty_seq("string")).otherwise(F.array(s))
+
+    def string(self, env=None, nodes=None, ctx=None) -> Column:
+        """items joined with newline (stdout shape)."""
+        return F.array_join(self.values(env, nodes, ctx), "\n")
+
+
+def compile_expr(source: str) -> CompiledExpr:
+    return CompiledExpr(source)

@@ -1,0 +1,602 @@
+"""Expression-language parser: the reference's `-e` string surface beyond
+location paths (readme.txt:120-196; tests/tests.sh:423-452).
+
+Grammar (XPath 3.0 subset + xidel extensions), lowest to highest binding:
+
+    or > and > comparison (= != < <= > >= eq ne lt le gt ge)
+    > || (string concat) > to (range) > + - > * div idiv mod
+    > unary -/+ > cast as > | (node union) > postfix ([pred], /path)
+    > primary
+
+Primaries: numeric/string literals, x"..{..}.." extended strings, $var,
+'.', '(' sequence ')', if/then/else, let/for..return (FLWOR core),
+some/every..satisfies, function calls (resolved late through
+ModuleRegistry), JSONiq true/false/null words, and location paths — paths
+reuse extract.xpath's parser verbatim, so everything the selector engine
+accepts embeds unchanged (css() bridging included).
+
+Full FLWOR order-by/group-by and window clauses stay library-level
+(queries_fn.py / queries_ext.py) — the parser raises a routing error for
+them, mirroring SURVEY §2.3's split.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from ..extract.xpath import Path, _Parser
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Lit:
+    value: object
+    kind: str  # 'long' | 'double' | 'string' | 'bool' | 'null'
+
+
+@dataclass
+class VarRef:
+    name: str
+
+
+@dataclass
+class ContextItem:
+    pass
+
+
+@dataclass
+class SeqExpr:
+    items: list
+
+
+@dataclass
+class RangeExpr:
+    lo: object
+    hi: object
+
+
+@dataclass
+class BinOp:
+    op: str  # '+','-','*','div','idiv','mod','and','or','||','=','!=','<','<=','>','>=','eq','ne','lt','le','gt','ge','|'
+    left: object
+    right: object
+
+
+@dataclass
+class UnaryOp:
+    op: str
+    expr: object
+
+
+@dataclass
+class IfExpr:
+    cond: object
+    then: object
+    els: object
+
+
+@dataclass
+class Flwor:
+    clauses: list  # [('let'|'for', varname, expr), ...]
+    where: object | None
+    ret: object
+
+
+@dataclass
+class Quant:
+    mode: str  # 'some' | 'every'
+    clauses: list  # [(varname, expr), ...]
+    cond: object
+
+
+@dataclass
+class Call:
+    qname: str
+    args: list
+
+
+@dataclass
+class PathRoot:
+    path: Path
+
+
+@dataclass
+class PathApply:
+    base: object
+    path: Path
+
+
+@dataclass
+class FilterExpr:
+    base: object
+    preds: list = field(default_factory=list)
+
+
+@dataclass
+class XString:
+    parts: list  # str | AST
+
+
+@dataclass
+class CastAs:
+    expr: object
+    type_qname: str
+
+
+# ---------------------------------------------------------------------------
+# tokenizer — a superset of extract.xpath's token stream, same kinds, so
+# the path parser consumes slices of it directly
+# ---------------------------------------------------------------------------
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<xstr>x"(?:[^"]|"")*"|x'(?:[^']|'')*')
+      | (?P<dslash>//)
+      | (?P<dcolonassign>:=)
+      | (?P<axis>[a-zA-Z][\w-]*::)
+      | (?P<func>[a-zA-Z][\w-]*(?::[a-zA-Z][\w.-]*)?\s*\(\s*\))
+      | (?P<qname>[a-zA-Z_][\w-]*:[a-zA-Z_][\w.-]*)
+      | (?P<name>[a-zA-Z_][\w-]*)
+      | (?P<var>\$[a-zA-Z_][\w-]*)
+      | (?P<num>\d+\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+|\.\d+|\d+)
+      | (?P<str>'(?:[^']|'')*'|"(?:[^"]|"")*")
+      | (?P<dotdot>\.\.)
+      | (?P<dbar>\|\|)
+      | (?P<slash>/)
+      | (?P<op><=|>=|!=|=|<|>|\+)
+      | (?P<minus>-)
+      | (?P<sym>[@\[\]().,*|{}?])
+    )""",
+    re.VERBOSE,
+)
+
+# keyword names that act as binary operators when seen in operator position
+_CMP_WORDS = {"eq", "ne", "lt", "le", "gt", "ge"}
+_MUL_WORDS = {"div", "idiv", "mod"}
+
+
+def tokenize(s: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    while i < len(s):
+        if s[i:].strip() == "":
+            break
+        m = _TOKEN.match(s, i)
+        if not m:
+            raise ValueError(f"expr: cannot tokenize at {s[i:]!r}")
+        i = m.end()
+        kind = m.lastgroup
+        val = m.group(kind)
+        if kind == "func":
+            val = re.sub(r"\s+", "", val)
+        if kind == "minus":
+            kind, val = "sym", "-"
+        if kind == "qname":
+            kind = "name"  # path parser and calls both treat qnames as names
+        out.append((kind, val))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+_PATH_START_SYMS = {"*", "@", "."}
+
+
+class ExprParser:
+    def __init__(self, src: str):
+        self.src = src
+        self.toks = tokenize(src)
+        self.i = 0
+
+    # -- token helpers ------------------------------------------------------
+    def peek(self, k: int = 0):
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, kind, val=None):
+        k, v = self.next()
+        if k != kind or (val is not None and v != val):
+            raise ValueError(
+                f"expr parse error in {self.src!r}: expected {val or kind}, got {v!r}"
+            )
+        return v
+
+    def at_word(self, *words) -> bool:
+        k, v = self.peek()
+        return k == "name" and v in words
+
+    # -- entry --------------------------------------------------------------
+    def parse(self):
+        e = self.or_expr()
+        if self.peek()[0] is not None:
+            raise ValueError(
+                f"expr: trailing tokens in {self.src!r}: {self.toks[self.i:]!r}"
+            )
+        return e
+
+    def parse_sub(self):
+        """expression up to the current nesting boundary (no EOF check)."""
+        return self.or_expr()
+
+    # -- precedence ladder ---------------------------------------------------
+    def or_expr(self):
+        a = self.and_expr()
+        while self.at_word("or"):
+            self.next()
+            a = BinOp("or", a, self.and_expr())
+        return a
+
+    def and_expr(self):
+        a = self.cmp_expr()
+        while self.at_word("and"):
+            self.next()
+            a = BinOp("and", a, self.cmp_expr())
+        return a
+
+    def cmp_expr(self):
+        a = self.concat_expr()
+        k, v = self.peek()
+        if k == "op" and v in ("=", "!=", "<", "<=", ">", ">="):
+            self.next()
+            return BinOp(v, a, self.concat_expr())
+        if k == "name" and v in _CMP_WORDS:
+            self.next()
+            return BinOp(v, a, self.concat_expr())
+        return a
+
+    def concat_expr(self):
+        a = self.range_expr()
+        while self.peek()[0] == "dbar":
+            self.next()
+            a = BinOp("||", a, self.range_expr())
+        return a
+
+    def range_expr(self):
+        a = self.add_expr()
+        if self.at_word("to"):
+            self.next()
+            return RangeExpr(a, self.add_expr())
+        return a
+
+    def add_expr(self):
+        a = self.mul_expr()
+        while True:
+            k, v = self.peek()
+            if k == "op" and v == "+":
+                self.next()
+                a = BinOp("+", a, self.mul_expr())
+            elif k == "sym" and v == "-":
+                self.next()
+                a = BinOp("-", a, self.mul_expr())
+            else:
+                return a
+
+    def mul_expr(self):
+        a = self.unary_expr()
+        while True:
+            k, v = self.peek()
+            if k == "sym" and v == "*":
+                self.next()
+                a = BinOp("*", a, self.unary_expr())
+            elif k == "name" and v in _MUL_WORDS:
+                self.next()
+                a = BinOp(v, a, self.unary_expr())
+            else:
+                return a
+
+    def unary_expr(self):
+        k, v = self.peek()
+        if (k == "sym" and v == "-") or (k == "op" and v == "+"):
+            self.next()
+            return UnaryOp(v, self.unary_expr())
+        return self.cast_expr()
+
+    def cast_expr(self):
+        a = self.union_expr()
+        while self.at_word("cast"):
+            self.next()
+            if not self.at_word("as"):
+                raise ValueError(f"expr: 'cast' without 'as' in {self.src!r}")
+            self.next()
+            tk, tv = self.next()
+            if tk != "name":
+                raise ValueError(f"expr: bad cast target {tv!r} in {self.src!r}")
+            if self.peek() == ("sym", "?"):
+                self.next()  # optional-occurrence marker: same compilation
+            a = CastAs(a, tv)
+        if self.at_word("instance", "castable", "treat"):
+            raise ValueError(
+                f"expr: '{self.peek()[1]} of/as' is not supported in the string "
+                f"surface (route type checks through xs constructors)"
+            )
+        return a
+
+    def union_expr(self):
+        a = self.postfix_expr()
+        while self.peek() == ("sym", "|"):
+            self.next()
+            a = BinOp("|", a, self.postfix_expr())
+        return a
+
+    def postfix_expr(self):
+        a = self.primary()
+        while True:
+            k, v = self.peek()
+            if k == "sym" and v == "[":
+                self.next()
+                pred = self.parse_sub()
+                self.expect("sym", "]")
+                if isinstance(a, FilterExpr):
+                    a.preds.append(pred)
+                else:
+                    a = FilterExpr(a, [pred])
+            elif k in ("slash", "dslash") and not isinstance(a, (PathRoot,)):
+                # $x/foo, (expr)//bar — apply a relative path to the value.
+                # The path parser consumes the leading slash itself.
+                a = PathApply(a, self._parse_path_here())
+            else:
+                return a
+
+    # -- primaries ------------------------------------------------------------
+    def primary(self):
+        k, v = self.peek()
+        if k is None:
+            raise ValueError(f"expr: unexpected end of input in {self.src!r}")
+        if k == "num":
+            self.next()
+            if re.fullmatch(r"\d+", v):
+                return Lit(int(v), "long")
+            return Lit(float(v), "double")
+        if k == "str":
+            self.next()
+            q = v[0]
+            return Lit(v[1:-1].replace(q + q, q), "string")
+        if k == "xstr":
+            self.next()
+            return self._xstring(v)
+        if k == "var":
+            self.next()
+            nk, nv = self.peek()
+            if nk == "dcolonassign":
+                raise ValueError(
+                    "expr: global variable assignment '$var := e' is the "
+                    "change-log surface — route through extract/changelog.py"
+                )
+            return VarRef(v[1:])
+        if k == "sym" and v == ".":
+            self.next()
+            return ContextItem()
+        if k == "sym" and v == "(":
+            self.next()
+            if self.peek() == ("sym", ")"):
+                self.next()
+                return SeqExpr([])
+            items = [self.parse_sub()]
+            while self.peek() == ("sym", ","):
+                self.next()
+                items.append(self.parse_sub())
+            self.expect("sym", ")")
+            return items[0] if len(items) == 1 else SeqExpr(items)
+        if k == "sym" and v == "{":
+            raise ValueError(
+                "expr: JSONiq object constructors route through "
+                "functions/jsonfn.py (map:*) — not the string surface yet"
+            )
+        if k == "name" and v == "if" and self.peek(1) == ("sym", "("):
+            return self._if_expr()
+        if k == "name" and v in ("let", "for") and self.peek(1)[0] == "var":
+            return self._flwor()
+        if k == "name" and v == "for" and self.peek(1)[0] == "name":
+            raise ValueError(
+                "expr: 'for tumbling/sliding window' routes through the "
+                "library window operators (queries_ext.py)"
+            )
+        if k == "name" and v in ("some", "every") and self.peek(1)[0] == "var":
+            return self._quant(v)
+        if k == "name" and v in ("true", "false") and self.peek(1) != ("sym", "("):
+            # JSONiq word literals (readme.txt:133-135) — only when NOT
+            # followed by '(', and not a path step start: a bare 'true'
+            # selects nothing in the fixtures so the literal reading is the
+            # reference's
+            self.next()
+            return Lit(v == "true", "bool")
+        if k == "name" and v == "null" and self.peek(1) != ("sym", "("):
+            self.next()
+            return Lit(None, "null")
+        if k == "func":
+            fname = v[:-2]
+            if fname in ("text", "node"):
+                return PathRoot(self._parse_path_here())
+            self.next()
+            if fname == "true":
+                return Lit(True, "bool")
+            if fname == "false":
+                return Lit(False, "bool")
+            return Call(fname, [])
+        if k == "name" and self.peek(1) == ("sym", "(") and v != "css":
+            self.next()
+            self.next()
+            args = []
+            if self.peek() != ("sym", ")"):
+                args.append(self.parse_sub())
+                while self.peek() == ("sym", ","):
+                    self.next()
+                    args.append(self.parse_sub())
+            self.expect("sym", ")")
+            return Call(v, args)
+        if k in ("slash", "dslash", "axis", "dotdot", "name") or (
+            k == "sym" and v in _PATH_START_SYMS
+        ):
+            return PathRoot(self._parse_path_here())
+        raise ValueError(f"expr parse error in {self.src!r}: unexpected {v!r}")
+
+    def _parse_path_here(self) -> Path:
+        """Delegate to the selector engine's parser on the shared tokens."""
+        p = _Parser(self.toks, self.src)
+        p.i = self.i
+        path = p.parse_path()
+        self.i = p.i
+        return path
+
+    def _if_expr(self):
+        self.next()  # if
+        self.expect("sym", "(")
+        cond = self.parse_sub()
+        self.expect("sym", ")")
+        if not self.at_word("then"):
+            raise ValueError(f"expr: 'if' without 'then' in {self.src!r}")
+        self.next()
+        then = self.exprsingle()
+        if not self.at_word("else"):
+            raise ValueError(f"expr: 'if' without 'else' in {self.src!r}")
+        self.next()
+        els = self.exprsingle()
+        return IfExpr(cond, then, els)
+
+    def exprsingle(self):
+        """ExprSingle: one expression, no top-level ','."""
+        return self.parse_sub()
+
+    def _flwor(self):
+        clauses = []
+        while self.at_word("let", "for"):
+            word = self.next()[1]
+            while True:
+                vk, vv = self.next()
+                if vk != "var":
+                    raise ValueError(f"expr: expected $var after {word!r}")
+                if word == "let":
+                    self.expect("dcolonassign")
+                else:
+                    if not self.at_word("in"):
+                        raise ValueError(f"expr: 'for {vv}' without 'in'")
+                    self.next()
+                clauses.append((word, vv[1:], self.exprsingle()))
+                if self.peek() == ("sym", ","):
+                    self.next()
+                    continue
+                break
+        if self.at_word("order", "group", "count", "window"):
+            raise ValueError(
+                f"expr: FLWOR '{self.peek()[1]} by' routes through the "
+                f"library operators (queries_fn.py flwor_*)"
+            )
+        where = None
+        if self.at_word("where"):
+            self.next()
+            where = self.exprsingle()
+        if not self.at_word("return"):
+            raise ValueError(f"expr: FLWOR without 'return' in {self.src!r}")
+        self.next()
+        return Flwor(clauses, where, self.exprsingle())
+
+    def _quant(self, mode: str):
+        self.next()  # some/every
+        clauses = []
+        while True:
+            vk, vv = self.next()
+            if vk != "var":
+                raise ValueError(f"expr: expected $var after {mode!r}")
+            if not self.at_word("in"):
+                raise ValueError(f"expr: quantified '{vv}' without 'in'")
+            self.next()
+            clauses.append((vv[1:], self.exprsingle()))
+            if self.peek() == ("sym", ","):
+                self.next()
+                continue
+            break
+        if not self.at_word("satisfies"):
+            raise ValueError(f"expr: '{mode}' without 'satisfies' in {self.src!r}")
+        self.next()
+        return Quant(mode, clauses, self.exprsingle())
+
+    def _xstring(self, tok: str):
+        """x"..{e}.." extended string (readme.txt:160-164). '{{'/'}}'
+        escape to literal braces; nested strings inside embedded
+        expressions are quote-aware."""
+        q = tok[1]
+        body = tok[2:-1].replace(q + q, q)
+        parts: list = []
+        buf: list[str] = []
+        i = 0
+        while i < len(body):
+            ch = body[i]
+            if ch == "{" and body[i + 1 : i + 2] == "{":
+                buf.append("{")
+                i += 2
+            elif ch == "}" and body[i + 1 : i + 2] == "}":
+                buf.append("}")
+                i += 2
+            elif ch == "{":
+                if buf:
+                    parts.append("".join(buf))
+                    buf = []
+                depth, j, quote = 1, i + 1, None
+                while j < len(body) and depth:
+                    c = body[j]
+                    if quote:
+                        if c == quote:
+                            quote = None
+                    elif c in "'\"":
+                        quote = c
+                    elif c == "{":
+                        depth += 1
+                    elif c == "}":
+                        depth -= 1
+                    j += 1
+                if depth:
+                    raise ValueError(f"expr: unbalanced {{}} in x-string {tok!r}")
+                parts.append(parse_expr(body[i + 1 : j - 1]))
+                i = j
+            else:
+                buf.append(ch)
+                i += 1
+        if buf:
+            parts.append("".join(buf))
+        return XString(parts)
+
+
+def parse_expr(src: str):
+    return ExprParser(src).parse()
+
+
+# ---------------------------------------------------------------------------
+# extraction-kind auto-detection (tests/tests.sh:423-452)
+# ---------------------------------------------------------------------------
+
+# one CSS simple selector: name, .class, #id, name.class, a:hover, [attr]…
+_CSS_SIMPLE = r"(?:[a-zA-Z][\w-]*|\*)?(?:[.#][\w-]+|:{1,2}[\w-]+(?:\([^()]*\))?|\[[^\]]+\])+|[a-zA-Z][\w-]*|\*"
+_CSS_RE = re.compile(
+    rf"\s*{_CSS_SIMPLE}(?:\s*[>+~,]\s*{_CSS_SIMPLE}|\s+{_CSS_SIMPLE})*\s*"
+)
+
+
+def detect_kind(src: str) -> str:
+    """'pattern' | 'css' | 'xpath' — the reference's ekAuto guess
+    (xidelbase.pas:2540-2543 guessExtractionKind; behavior pinned by
+    tests/tests.sh:423-452):
+
+    - leading '<'  → pattern template
+    - pure CSS shape that XPath would not read the same way (has a
+      css-only marker like '.cls' / '#id' / ':pseudo' / '[x=y]' without
+      any XPath-only syntax) → css
+    - everything else (paths, bare names, full expressions) → xpath
+    """
+    s = src.strip()
+    if s.startswith("<"):
+        return "pattern"
+    if any(t in s for t in ("/", "::", "$", "(", ")", '"', "'", "=", "|")):
+        return "xpath"
+    if re.fullmatch(_CSS_RE, s) and re.search(r"[.#]\w|:{1,2}[a-z-]+|\[[^\]]+\]|[>+~]", s):
+        return "css"
+    return "xpath"

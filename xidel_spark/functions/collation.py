@@ -62,3 +62,29 @@ def weak_eq(a: Column, b: Column) -> Column:
 def weak_add(a: Column, b: Column) -> Column:
     """1 + "2" = 3 (readme.txt:176): untyped atomics coerce to number."""
     return a.try_cast("double") + b.try_cast("double")
+
+
+def collation_key_expr(col: Column) -> Column:
+    """collation_key as a PURE-CATALYST expression — byte-identical to
+    collation_key_one, but usable inside higher-order-function lambdas
+    (Catalyst rejects Python UDF calls inside HOFs, so the expression
+    language's existential comparisons over sequences need this form) and
+    free of the Python-worker boundary on the scalar path too.
+
+    Split into digit / non-digit runs with a lookaround regex, key each run
+    ('0'+zero-padded value | '1'+lowercase), join with \\x01."""
+    parts = F.filter(
+        F.split(col, r"(?<=\d)(?=\D)|(?<=\D)(?=\d)"), lambda p: p != ""
+    )
+
+    def run_key(p: Column) -> Column:
+        stripped = F.regexp_replace(p, "^0+", "")
+        # python rjust(24) never truncates; F.lpad does — guard long runs
+        padded = F.when(F.length(stripped) >= _PAD, stripped).otherwise(
+            F.lpad(stripped, _PAD, "0")
+        )
+        return F.when(p.rlike(r"^\d"), F.concat(F.lit("0"), padded)).otherwise(
+            F.concat(F.lit("1"), F.lower(p))
+        )
+
+    return F.array_join(F.transform(parts, run_key), "\x01")
