@@ -104,3 +104,27 @@ def test_simulator_matches_goldens():
     assert [u.split(".")[0] for u in sim3.visit_order] == [
         "a", "b", "c", "c1", "c2", "b1", "b2", "c", "c1", "c2"
     ]  # golden maxlevel3
+
+
+def test_depth_limited_replay_guard(spark):
+    """crawl_exact_depth_limited must refuse link tables above the replay
+    threshold instead of collecting them to the driver (VERDICT r2 #3)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from xidel_spark.crawl.engine import crawl_exact_depth_limited
+
+    links = spark.range(1000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("src"),
+        F.lit(0).alias("idx"),
+        F.concat(F.lit("u"), F.col("id") + 1).alias("dst"),
+    )
+    spark.conf.set("xidel.crawl.maxReplayLinks", "100")
+    try:
+        with pytest.raises(ValueError, match="crawl_waves"):
+            crawl_exact_depth_limited(spark, links, ["u0"], max_depth=2)
+    finally:
+        spark.conf.set("xidel.crawl.maxReplayLinks", "5000000")
+    # fixture scale still works under the default guard
+    res = crawl_exact_depth_limited(spark, links.limit(50), ["u0"], max_depth=3)
+    assert res.visited.count() == 4

@@ -214,10 +214,29 @@ def crawl_exact_depth_limited(
     is mutated in visit order and over-depth enqueues still poison it), so we
     replay it with the sequential oracle and parallelize the result. Only
     used at fixture scale; production bounded-depth crawls use crawl_waves.
+
+    Guarded: a link table above `max_replay_links` rows raises instead of
+    OOM-ing the driver — this path is P-complete (dedup ON + finite depth
+    serializes on the visit-order-mutated seen set), so there is no
+    distributed exact form to fall back to; callers at scale must accept
+    crawl_waves' BFS order or lift the depth limit (crawl_exact).
     """
     from .simulator import simulate_crawl
 
+    max_replay_links = int(
+        spark.conf.get("xidel.crawl.maxReplayLinks", "5000000")
+    )
     if isinstance(links, DataFrame):
+        n_links = links.count()
+        if n_links > max_replay_links:
+            raise ValueError(
+                f"crawl_exact_depth_limited replays the crawl on the driver "
+                f"(P-complete: dedup ON + finite depth is inherently "
+                f"sequential) and the link table has {n_links} rows "
+                f"(> xidel.crawl.maxReplayLinks={max_replay_links}). "
+                f"Use crawl_waves(max_depth=...) for scalable BFS-order "
+                f"bounded crawls, or crawl_exact for unlimited depth."
+            )
         rows = links.select("src", "idx", "dst").collect()
         adj: dict[str, list[tuple[int, str]]] = {}
         for r in rows:

@@ -47,7 +47,12 @@ def run_pipeline(
     for si, stage in enumerate(stages):
         if stage.recurse:
             links = extract_links(docs, stage.follow or "//a")
-            res = crawl_exact(spark, links, [r["url"] for r in current.orderBy("ord").collect()])
+            # the stage frontier stays a DataFrame end-to-end — collecting
+            # it to the driver to re-seed would cap recursing stages at
+            # driver memory (crawl_exact takes (url, seed_idx) directly)
+            res = crawl_exact(
+                spark, links, current.select("url", F.col("ord").cast("long").alias("seed_idx"))
+            )
             current = res.visited.select("url", "ord")
         for sel in stage.extract:
             vals = extract_kind_text(docs, sel)
