@@ -102,13 +102,22 @@ def run(spark) -> dict:
     extract_links(big_docs, "//a").count()
     timings["link_extraction"] = time.time() - t0
 
-    # q4: canonicalization UDF throughput (replicated dirty urls)
+    # q4: canonicalization throughput (replicated dirty urls) — both
+    # engines: the Arrow row-map (auto default on local) and the pure
+    # Catalyst expression (auto default off-box, no Python boundary)
     t0 = time.time()
     dirty = corpus.dirty_urls(spark, SF_DIR).crossJoin(reps)
     dirty.select(canonicalize(F.col("raw_url")).alias("c")).where(
         F.col("c").isNotNull()
     ).count()
     timings["url_canonicalize"] = time.time() - t0
+    from xidel_spark.urlnorm import canonicalize_expr
+
+    t0 = time.time()
+    dirty.select(canonicalize_expr(F.col("raw_url")).alias("c")).where(
+        F.col("c").isNotNull()
+    ).count()
+    extras["url_canonicalize_expr_sec"] = round(time.time() - t0, 2)
 
     # q5: minhash-LSH dedup candidates over the SF document corpus
     from xidel_spark.ops import dedup_text as dt

@@ -160,3 +160,71 @@ def test_header_order_insensitive_hash(spark):
     )
     ks = [r["k"] for r in df.collect()]
     assert ks[0] == ks[1]
+
+
+def test_engine_knob(spark):
+    """xidel.urlnorm.engine selects the production engine: 'expr' must plan
+    no Python (BatchEvalPython/ArrowEvalPython), 'arrow' must use Arrow,
+    and both return identical bytes."""
+    from xidel_spark.corpus import dirty_urls
+    from xidel_spark.urlnorm import canonicalize
+
+    df = dirty_urls(spark, "/root/testdata/sf0.001")
+    results = {}
+    for eng in ("arrow", "expr"):
+        spark.conf.set("xidel.urlnorm.engine", eng)
+        try:
+            out = df.select("doc_id", canonicalize(F.col("raw_url")).alias("c"))
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            if eng == "expr":
+                assert "EvalPython" not in plan, "expr engine planned Python"
+            else:
+                assert "ArrowEvalPython" in plan
+            results[eng] = sorted(map(tuple, out.collect()))
+        finally:
+            spark.conf.unset("xidel.urlnorm.engine")
+    assert results["arrow"] == results["expr"]
+
+
+def test_canonicalize_resolve_fuzz_parity(spark):
+    """randomized nasty inputs (dot chains up to depth 9, '//' pops, empty
+    query params, odd ports/schemes): the Catalyst forms match the Python
+    oracles byte-for-byte — guards the round-3 regex-pass rework."""
+    import random
+
+    from xidel_spark.urlnorm import (
+        canonicalize_expr, canonicalize_one, resolve_one, resolve_url_expr,
+    )
+
+    random.seed(11)
+    segs = ["a", "b", ".", "..", "x9", "", "X"]
+    rows = []
+    for i in range(1500):
+        n = random.randint(0, 8)
+        path = "/" + "/".join(random.choice(segs) for _ in range(n)) if n else ""
+        q = random.choice(["", "?b=2&a=1", "?", "?&&a", "?z&y&z"])
+        base = (
+            f"{random.choice(['http', 'HTTP', 'xy-z'])}://Ex{i % 9}.COM"
+            f"{random.choice(['', ':80', ':8080'])}{path}{q}{random.choice(['', '#f'])}"
+        )
+        rel = "/".join(random.choice(segs) for _ in range(random.randint(0, 5)))
+        ref = random.choice(
+            [rel, "/" + rel, "?x=1", "//other.com/p", "http://abs.com/p", rel + "?q=2"]
+        )
+        rows.append((base, ref))
+    rows += [
+        ("http://h/" + "a/" * 9 + "../" * 9 + "z", "../" * 9 + "z"),
+        ("http://h//a/../b", "a//../b"),
+        ("noscheme", "x"),
+        ("http://", ""),
+        (None, None),
+    ]
+    df = spark.createDataFrame(rows, "base string, ref string")
+    got = df.select(
+        "base", "ref",
+        canonicalize_expr(F.col("base")).alias("c"),
+        resolve_url_expr(F.col("ref"), F.col("base")).alias("r"),
+    ).collect()
+    for r in got:
+        assert r["c"] == canonicalize_one(r["base"]), r["base"]
+        assert r["r"] == resolve_one(r["ref"], r["base"]), (r["ref"], r["base"])

@@ -7,24 +7,26 @@ The reference resolves every followed link against the document base URI
 frontier dedup key: scheme/host lowercasing, dot-segment removal
 (RFC 3986 §5.2.4), default-port stripping, query-param ordering.
 
-Engines (tests/test_urlnorm.py pins them byte-equal):
+Engines (tests/test_urlnorm.py pins them byte-equal), selected per session
+by the `xidel.urlnorm.engine` conf ('arrow' | 'expr' | 'auto'):
 
-1. `canonicalize` / `resolve_url` — PRODUCTION: Arrow-batched pandas UDF
-   mapping a single compiled-regex row function. Fastest measured shape:
-   4.2 s clean / 5.8 s dirty per 24M URLs at local[32] (5.8M urls/s).
-2. `canonicalize_expr` / `resolve_url_expr` — pure Catalyst expressions
-   (instr/substring split + an F.aggregate stack machine for dot segments,
-   let-bound via single-element `transform` to stop expression-tree
-   blowup). Correct and plan-pure, but measured 10 s clean / 38 s dirty:
-   higher-order functions + the let-binding trick evaluate outside
-   whole-stage codegen's fast path. Kept for SQL-only contexts.
-3. `canonicalize_one` / `resolve_one` — the row functions themselves.
+1. `canonicalize_udf` / `resolve_udf` — Arrow-batched pandas UDF mapping a
+   single compiled-regex ROW function (not column-vectorized pandas: one
+   compiled-regex pass per row beats ten full-column .str passes on a
+   memory-bandwidth-bound box — measured 0.8 s vs ~2 s / 2M dirty URLs).
+   Default on local masters.
+2. `canonicalize_expr` / `resolve_url_expr` — pure Catalyst, no Python
+   boundary. Round-3 letless rework: substring-arithmetic skeleton +
+   bounded regex-pass dot removal on the common path (~1.7 s / 2M dirty,
+   was 18.9 s), with the exact `_let`/F.aggregate stack machine only
+   behind a lazily-evaluated top-level branch for paths the passes can't
+   finish. Default off-box ('auto'): no per-candidate Python ser/de/GIL.
+3. `canonicalize_one` / `resolve_one` — the row functions (oracles).
 
-Also tried and rejected by measurement: a column-vectorized pandas version
-(one .str.extract + masked subsets) at 7.2 s / 12.2 s — ten full-column
-passes lose to one compiled-regex pass per row on this memory-bandwidth-
-bound box; and the naive compositional Catalyst form, whose 273 KB
-expression fell out of codegen entirely (40 s clean, >10 min dirty).
+Known-slow shapes, kept out by measurement: `_let`-bound Catalyst
+everywhere (HOFs have no codegen — one anywhere drops the whole Project
+out of whole-stage codegen: 10-38 s); naive compositional Catalyst
+without lets (273 KB expression, 40 s+).
 """
 
 from __future__ import annotations
@@ -192,6 +194,46 @@ def _dots_cat(path: Column) -> Column:
     return _let(F.when(path == "", F.lit("/")).otherwise(path), with_norm)
 
 
+def _dots_fast(path: Column) -> tuple[Column, Column]:
+    """(result, unresolved): dot-segment removal with NO higher-order
+    functions — a bounded chain of regexp_replace passes. `unresolved` is
+    true for the inputs the passes provably didn't finish (deeper than 4
+    '..'-levels, '//' empty-segment pop quirks); callers route those to the
+    exact aggregate stack machine.
+
+    Mirrors _remove_dot_segments exactly where resolved: '.' segments
+    drop, '..' pops the nearest poppable segment (a '..' segment itself is
+    never popped — the (?!\\.\\.) guard), root-level '..' runs vanish, and
+    a trailing '/.'/'/..' leaves a trailing slash."""
+    trailing = path.endswith("/.") | path.endswith("/..")
+    # phase A: '.' segments — mid-path in one pass (lookahead keeps the
+    # separator so '/././' collapses fully), trailing '/.' → '/'
+    t = F.regexp_replace(path, r"/\.(?=/)", "")
+    t = F.regexp_replace(t, r"/\.$", "/")
+    # phase B: pop one '..' NESTING level per pass (sequential pops like
+    # 'a/../b/../c' resolve in a single pass — replaceAll scans on), never
+    # popping a '..' itself
+    pop = r"/(?!\.\.(?:/|$))[^/]+/\.\.(?=/|$)"
+    for _ in range(3):
+        t = F.regexp_replace(t, pop, "")
+    # phase C: root-level '..' runs vanish ('/..' can pop nothing)
+    t = F.regexp_replace(t, r"^(/\.\.)+(?=/|$)", "")
+    # inputs here always start with '/' (they follow an authority), and the
+    # passes only ever remove whole '/x' chunks — t is ''-or-'/'-leading,
+    # so the generic _slash_fix (an interpreted _let) is not needed
+    done = F.when(t == "", F.lit("/")).otherwise(
+        F.when(trailing & ~t.endswith("/"), F.concat(t, F.lit("/"))).otherwise(t)
+    )
+    # conservative finish guard computed on the ORIGINAL path — never on
+    # the t-chain: every extra reference to t re-evaluates the whole regex
+    # chain (expression trees have no sharing), which doubled the cost.
+    # ≤3 '/..' occurrences bounds the nesting depth at 3 passes; '//'
+    # empty-segment pops route to the exact machine.
+    n_dotdot = (F.length(path) - F.length(F.replace(path, F.lit("/.."), F.lit("")))) / 3
+    unresolved = path.contains("//") | (n_dotdot > 3)
+    return done, unresolved
+
+
 def _default_port(scheme: Column) -> Column:
     out = F.lit(None).cast("string")
     for sch, port in DEFAULT_PORTS.items():
@@ -199,93 +241,143 @@ def _default_port(scheme: Column) -> Column:
     return out
 
 
+def _canon_core(col: Column, dots) -> Column:
+    """Shared canonicalize skeleton; `dots(path) -> (path2, needs)` plugs
+    in the dot-segment strategy. Letless: cheap component subtrees
+    (trim / substring / instr) are duplicated instead of `_let`-bound —
+    higher-order functions have no codegen support, so ONE HOF anywhere
+    drops the whole Project out of whole-stage codegen and re-evaluating
+    a substring a few times beats interpreting everything by ~4×."""
+    s = F.substring_index(F.trim(col), "#", 1)
+    pos = F.instr(s, "://")  # 0 when absent
+    scheme_raw = F.substring(s, F.lit(1), pos - 1)
+    # oracle parity: the scheme must be non-empty and free of :/?#
+    # (otherwise canonicalize_one's regex declines and returns s as-is)
+    bad_scheme = (pos <= 1) | scheme_raw.rlike("[:/?#]")
+    scheme = F.lower(scheme_raw)
+    rest = F.substring(s, pos + 3, F.length(s))
+    slash = F.instr(rest, "/")
+    qmark = F.instr(rest, "?")
+    past_end = F.length(rest) + 1
+    auth_end = F.least(
+        F.when(slash > 0, slash).otherwise(past_end),
+        F.when(qmark > 0, qmark).otherwise(past_end),
+    )
+    auth = F.lower(F.substring(rest, F.lit(1), auth_end - 1))
+    pathq = F.substring(rest, auth_end, F.length(rest))
+    qp = F.instr(pathq, "?")
+    path = F.when(qp > 0, F.substring(pathq, F.lit(1), qp - 1)).otherwise(pathq)
+    query = F.when(qp > 0, F.substring(pathq, qp + 1, F.length(pathq)))
+    # explicit port (rare branch): strip when it equals the scheme default;
+    # rsplit-on-last-':' via substring_index(-1)
+    port = F.substring_index(auth, ":", -1)
+    host = F.substring(auth, F.lit(1), F.length(auth) - F.length(port) - 1)
+    auth2 = F.when(
+        auth.contains(":"),
+        F.when(port == _default_port(scheme), host).otherwise(auth),
+    ).otherwise(auth)
+    # query param sort (rare branch): strip empty params with regex+btrim
+    # FIRST so split/sort_array/array_join are all plain codegen
+    # expressions — no filter() lambda (ArrayFilter has no codegen)
+    qclean = F.btrim(F.regexp_replace(query, "&{2,}", "&"), F.lit("&"))
+    qsuffix = F.when(
+        query.isNotNull() & (qclean != ""),
+        F.concat(F.lit("?"), F.array_join(F.sort_array(F.split(qclean, "&")), "&")),
+    ).otherwise(F.lit(""))
+    # a let dispatch costs ~1.4 µs/row interpreted — gate it INSIDE the
+    # dot branch so the ~80% dotless rows never pay it, while dot rows
+    # evaluate the path chain once instead of ~6× (the aggregate in the
+    # slow branch keeps this whole Project out of codegen either way)
+    path2 = F.when(path == "", F.lit("/")).otherwise(
+        F.when(
+            path.contains("/."), _let(path, lambda p: dots(p)[0])
+        ).otherwise(path)
+    )
+    needs_inner = path.contains("/.") & dots(path)[1]  # And short-circuits
+    rebuilt = F.concat(scheme, F.lit("://"), auth2, path2, qsuffix)
+    out = F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(bad_scheme, s).otherwise(rebuilt)
+    )
+    return out, col.isNotNull() & ~bad_scheme & needs_inner
+
+
 def canonicalize_expr(col: Column) -> Column:
     """Frontier dedup key — Catalyst only, no Python anywhere on the
-    candidate hot path. Component split is instr/substring arithmetic (a
-    regex pass per component was measurably slower at 24M URLs/batch);
-    regexes appear only inside rarely-taken CASE branches (explicit port,
-    dot segments), which CaseWhen evaluates lazily."""
-    def with_s(s):
-        pos = F.instr(s, "://")  # 0 when absent
+    candidate hot path.
 
-        def with_rest(rest):
-            rlen = F.length(rest)
-            slash = F.instr(rest, "/")
-            qmark = F.instr(rest, "?")
-            past_end = rlen + 1
-            auth_end = F.least(
-                F.when(slash > 0, slash).otherwise(past_end),
-                F.when(qmark > 0, qmark).otherwise(past_end),
-            )
-            split0 = F.struct(
-                F.lower(F.substring(rest, F.lit(1), auth_end - 1)).alias("auth"),
-                F.substring(rest, auth_end, rlen).alias("pathq"),
-            )
-
-            def with_split(sp):
-                auth, pathq = sp["auth"], sp["pathq"]
-                qp = F.instr(pathq, "?")
-                comp0 = F.struct(
-                    auth.alias("auth"),
-                    F.when(qp > 0, F.substring(pathq, F.lit(1), qp - 1))
-                    .otherwise(pathq)
-                    .alias("path"),
-                    F.when(qp > 0, F.substring(pathq, qp + 1, F.length(pathq)))
-                    .otherwise(F.lit(None).cast("string"))
-                    .alias("query"),
-                )
-
-                def with_comp(c):
-                    scheme0 = F.lower(F.substring(s, F.lit(1), pos - 1))
-
-                    def with_scheme(scheme):
-                        auth, path, query = c["auth"], c["path"], c["query"]
-                        # explicit port: rare → regexes in the lazy branch
-                        host = F.regexp_extract(auth, r"^(.*):[^:]*$", 1)
-                        port = F.regexp_extract(auth, r":([^:]*)$", 1)
-                        auth2 = F.when(
-                            auth.contains(":"),
-                            F.when(port == _default_port(scheme), host).otherwise(auth),
-                        ).otherwise(auth)
-                        qsorted = F.array_join(
-                            F.array_sort(F.filter(F.split(query, "&"), lambda p: p != "")),
-                            "&",
-                        )
-                        qsuffix = F.when(
-                            query.isNotNull(),
-                            _let(
-                                qsorted,
-                                lambda qs: F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(
-                                    F.lit("")
-                                ),
-                            ),
-                        ).otherwise(F.lit(""))
-                        return F.concat(
-                            scheme, F.lit("://"), auth2, _dots_cat(path), qsuffix
-                        )
-
-                    return _let(scheme0, with_scheme)
-
-                return _let(comp0, with_comp)
-
-            return _let(split0, with_split)
-
-        rebuilt = _let(F.substring(s, pos + 3, F.length(s)), with_rest)
-        # oracle parity: the scheme must be non-empty and free of :/?#
-        # (otherwise canonicalize_one's regex declines and returns s as-is)
-        bad_scheme = (pos <= 1) | F.substring(s, F.lit(1), pos - 1).rlike("[:/?#]")
-        return F.when(bad_scheme, s).otherwise(rebuilt)
-
-    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
-        _let(F.substring_index(F.trim(col), "#", 1), with_s)
-    )
+    Round-3 rework (18.9 s → ~1.7 s / 2M dirty URLs on this box): the
+    common path is the letless skeleton with regex-pass dot removal; only
+    rows the bounded passes provably cannot finish (deeper than 4
+    '..'-levels, '//' pop quirks — none in any real crawl corpus) take the
+    exact aggregate stack machine, behind a lazily-evaluated CaseWhen
+    branch at the TOP of the expression so the machine's per-row cost is
+    never paid on the fast path."""
+    fast, needs = _canon_core(col, _dots_fast)
+    slow, _ = _canon_core(col, lambda p: (_dots_cat(p), F.lit(False)))
+    return F.when(needs, slow).otherwise(fast)
 
 
 def resolve_url_expr(ref: Column, base: Column) -> Column:
     """strResolveURI analogue (RFC 3986 §5) — Catalyst only; one expression
-    per followed link, inside whole-stage codegen. Like `canonicalize`, the
-    split is instr/substring arithmetic (this runs once per extracted link
-    in the crawl loop)."""
+    per followed link in the crawl loop.
+
+    Same letless round-3 shape as canonicalize_expr: the common path is
+    substring arithmetic + regex-pass dot removal; only provably-unfinished
+    paths route to the exact `_let`/aggregate form (`_resolve_slow`)."""
+    pos = F.instr(base, "://")
+    scheme = F.substring(base, F.lit(1), pos - 1)
+    rest = F.substring(base, pos + 3, F.length(base))
+    slash = F.instr(rest, "/")
+    auth = F.when(slash > 0, F.substring(rest, F.lit(1), slash - 1)).otherwise(rest)
+    basepath = F.when(slash > 0, F.substring(rest, slash, F.length(rest))).otherwise(
+        F.lit("/")
+    )
+    dir_prefix = F.substring(
+        basepath, F.lit(1), F.length(basepath) - F.instr(F.reverse(basepath), "/")
+    )
+    merged0 = (
+        F.when(ref.startswith("/"), ref)
+        .when(ref.startswith("?"), F.concat(F.substring_index(basepath, "?", 1), ref))
+        .otherwise(F.concat(dir_prefix, F.lit("/"), ref))
+    )
+
+    # `merged` and `mpath` are each referenced ~6× downstream; without the
+    # two lets, interpreted eval re-computes their whole subtrees per
+    # reference (measured 14 s vs 2.6 s / 2M links). Two lets ≠ the old
+    # all-lets form — that one wrapped every component and paid an
+    # interpreted HOF dispatch per binding.
+    def _with_merged(merged):
+        qp = F.instr(merged, "?")
+        mpath0 = F.when(qp > 0, F.substring(merged, F.lit(1), qp - 1)).otherwise(merged)
+        qsuffix = F.when(
+            qp > 0, F.concat(F.lit("?"), F.substring(merged, qp + 1, F.length(merged)))
+        ).otherwise(F.lit(""))
+
+        def _with_mpath(mpath):
+            d, unresolved = _dots_fast(mpath)
+            # dotless merged paths pass through _remove_dot_segments
+            # unchanged (always '/'-leading: every merge branch is)
+            path2 = F.when(mpath.contains("/."), d).otherwise(mpath)
+            needs = mpath.contains("/.") & unresolved
+            return F.when(needs, _resolve_slow(ref, base)).otherwise(
+                F.concat(scheme, F.lit("://"), auth, path2, qsuffix)
+            )
+
+        return _let(mpath0, _with_mpath)
+
+    assembled = _let(merged0, _with_merged)
+    return (
+        F.when(ref.isNull(), F.lit(None).cast("string"))
+        .when(ref.contains("://"), ref)
+        .when(base.isNull() | ~base.contains("://"), ref)
+        .when(ref.startswith("//"), F.concat(scheme, F.lit(":"), ref))
+        .otherwise(assembled)
+    )
+
+
+def _resolve_slow(ref: Column, base: Column) -> Column:
+    """exact `_let`/aggregate form — only evaluated on the rare rows the
+    bounded regex passes can't finish (callers guard ref/base validity)."""
     def with_parts(p):
         scheme, auth, basepath = p["scheme"], p["auth"], p["basepath"]
 
@@ -327,13 +419,7 @@ def resolve_url_expr(ref: Column, base: Column) -> Column:
             .alias("basepath"),
         )
 
-    assembled = _let(_let(rest0, split_base), with_parts)
-    return (
-        F.when(ref.isNull(), F.lit(None).cast("string"))
-        .when(ref.contains("://"), ref)
-        .when(base.isNull() | ~base.contains("://"), ref)
-        .otherwise(assembled)
-    )
+    return _let(_let(rest0, split_base), with_parts)
 
 
 def host_of(url: Column) -> Column:
@@ -341,16 +427,34 @@ def host_of(url: Column) -> Column:
     return F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
 
 
+def _engine() -> str:
+    """xidel.urlnorm.engine conf: 'arrow' | 'expr' | 'auto' (default).
+
+    auto → 'arrow' on local masters, 'expr' otherwise: the Arrow row-map
+    (a single compiled-regex pass per row) wins on one DRAM-bound box
+    (measured 0.8 s vs 1.7 s / 2M dirty URLs), but on a real cluster the
+    Python-worker ser/de + GIL cost scales with every candidate while the
+    pure-Catalyst form stays JVM-side — and after the round-3 letless
+    rework the expr form is ~2× the UDF instead of the old 5-30×."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    mode = "auto"
+    if spark is not None:
+        mode = spark.conf.get("xidel.urlnorm.engine", "auto")
+    if mode in ("arrow", "expr"):
+        return mode
+    master = spark.conf.get("spark.master", "local") if spark is not None else "local"
+    return "arrow" if master.startswith("local") else "expr"
+
+
 def canonicalize(col: Column) -> Column:
-    """Production canonicalization — the Arrow-batched column-vectorized
-    UDF. Measured at 24M URLs / local[32]: vectorized-pandas ~4 s, the
-    pure-Catalyst expression 10-38 s (HOF let-bindings and the aggregate
-    stack machine dominate), row-at-a-time pandas map ~6-21 s. Keep
-    `canonicalize_expr` for SQL-only contexts; tests pin all three equal."""
-    return canonicalize_udf(col)
+    """Production canonicalization — engine chosen by `xidel.urlnorm.engine`
+    (see _engine). Tests pin the engines byte-equal; bench carries both
+    timings."""
+    return canonicalize_udf(col) if _engine() == "arrow" else canonicalize_expr(col)
 
 
 def resolve_url(ref: Column, base: Column) -> Column:
-    """Production link resolution — Arrow-batched column-vectorized UDF
-    (see canonicalize for the measured comparison vs the Catalyst form)."""
-    return resolve_udf(ref, base)
+    """Production link resolution — engine chosen like `canonicalize`."""
+    return resolve_udf(ref, base) if _engine() == "arrow" else resolve_url_expr(ref, base)
