@@ -207,3 +207,37 @@ def test_bloom_null_url_candidate_not_lost(spark):
             assert maybe.where(F.col("url").isNull()).count() == 1
         finally:
             bl.BROADCAST_MAX_BITS = old
+
+
+def test_bloom_auto_mode(spark):
+    """use_bloom='auto' (the default) stays OFF below the break-even and
+    flips ON (sticky) once seen/frontier crosses the configured thresholds;
+    results match the exact-join crawler exactly."""
+    links = fixture_graph(spark)
+    ltab = extract_links(links, "//a")
+    crawler_exact = FrontierCrawler(spark, ltab, use_bloom=False)
+    run_exact = crawler_exact.run(SEEDS)
+
+    # tiny thresholds so the fixture crawl crosses break-even at wave 1
+    spark.conf.set("xidel.crawl.bloomAutoMinSeen", "1")
+    spark.conf.set("xidel.crawl.bloomAutoMinRatio", "1")
+    try:
+        crawler_auto = FrontierCrawler(spark, ltab, use_bloom="auto")
+        run_auto = crawler_auto.run(SEEDS)
+        assert crawler_auto._bloom_active  # flipped on
+        assert {r["url"] for r in run_auto.seen.collect()} == {
+            r["url"] for r in run_exact.seen.collect()
+        }
+        assert [m["enqueued"] for m in run_auto.metrics] == [
+            m["enqueued"] for m in run_exact.metrics
+        ]
+    finally:
+        spark.conf.unset("xidel.crawl.bloomAutoMinSeen")
+        spark.conf.unset("xidel.crawl.bloomAutoMinRatio")
+    # default thresholds: fixture-scale crawls never activate the filter
+    crawler_def = FrontierCrawler(spark, ltab)
+    run_def = crawler_def.run(SEEDS)
+    assert not crawler_def._bloom_active
+    assert {r["url"] for r in run_def.seen.collect()} == {
+        r["url"] for r in run_exact.seen.collect()
+    }
