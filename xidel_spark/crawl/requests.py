@@ -77,6 +77,85 @@ def x_request(
     )
 
 
+def _params_of(qs: Column) -> Column:
+    """'a=1&b=2' → array<struct<name,value>> in order (empty → [])."""
+    pairs = F.filter(F.split(F.coalesce(qs, F.lit("")), "&"), lambda p: p != "")
+    return F.transform(
+        pairs,
+        lambda p: F.struct(
+            F.substring_index(p, "=", 1).alias("name"),
+            F.when(p.contains("="), F.substring_index(p, "=", -1))
+            .otherwise(F.lit(""))
+            .alias("value"),
+        ),
+    )
+
+
+def request_decode(url: Column, body: Column | None = None) -> Column:
+    """x:request-decode (changelog:9-10 'parse the parameters of a HTTP
+    request') — request → {host, path, params}: query-string parameters
+    plus urlencoded POST body parameters, in arrival order with the query
+    first (the order the reference's TStringList sees them)."""
+    from ..urlnorm import host_of
+
+    qpos = F.instr(url, "?")
+    path_full = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    query = F.when(qpos > 0, F.substring(url, qpos + 1, F.length(url)))
+    empty = F.array().cast("array<struct<name:string,value:string>>")
+    params = F.concat(
+        _params_of(query), _params_of(body) if body is not None else empty
+    )
+    return F.struct(
+        host_of(url).alias("host"),
+        F.when(path_full == "", F.lit("/")).otherwise(path_full).alias("path"),
+        params.alias("params"),
+    )
+
+
+def request_combine(request: Column, overrides: Column) -> Column:
+    """request-combine(request, overrides) (readme.txt:215-217): a new
+    request with the override parameters applied — same-named parameters
+    are replaced, new names appended, a NULL override value REMOVES the
+    parameter ('{"key":()} sends nothing', changelog:17). GET requests
+    merge into the query string, others into the body — 'the second
+    parameter behaves like that parameter of form'.
+
+    `request` is the form()/x:request struct (url, method, body, query);
+    `overrides` is array<struct<name,value>>. Pure higher-order Catalyst —
+    combining rides the frontier row-wise, no driver round-trip."""
+    is_get = request["method"] == "GET"
+    target = F.when(is_get, request["query"]).otherwise(request["body"])
+    existing = _params_of(target)
+    replaced = F.transform(
+        existing,
+        lambda e: F.coalesce(
+            F.try_element_at(
+                F.filter(overrides, lambda o: o["name"] == e["name"]), F.lit(1)
+            ),
+            e,
+        ),
+    )
+    kept = F.filter(replaced, lambda e: e["value"].isNotNull())
+    appended = F.filter(
+        overrides,
+        lambda o: o["value"].isNotNull()
+        & ~F.array_contains(F.transform(existing, lambda e: e["name"]), o["name"]),
+    )
+    encoded = F.array_join(
+        F.transform(
+            F.concat(kept, appended),
+            lambda p: F.concat(p["name"], F.lit("="), p["value"]),
+        ),
+        "&",
+    )
+    return F.struct(
+        request["url"].alias("url"),
+        request["method"].alias("method"),
+        F.when(is_get, request["body"]).otherwise(encoded).alias("body"),
+        F.when(is_get, encoded).otherwise(request["query"]).alias("query"),
+    )
+
+
 def action_for_request(status: Column, policy: Column) -> Column:
     """Per-REQUEST error policy (the reference's follow-object override,
     tests/tests.sh:128-129): the policy string ('404=skip,4xx=retry,...')

@@ -41,11 +41,18 @@ _CONDITION_OPS = {
 class SpanMatcher:
     kind: str                      # span kind to match ('title', 'link', ...)
     capture: str | None = None     # variable name to assign
-    field: str = "text"            # which span field the capture reads
-    text_prefix: str | None = None  # xidel text-match default: starts-with
+    field: str = "text"            # capture source; 'matched-text' = the
+    #                                text the matcher matched (changelog:12:
+    #                                matched-text replaces text() in patterns)
+    text_prefix: str | None = None  # legacy alias for ('starts-with', v)
     min_count: int = 1
     max_count: int | None = 1      # None = unbounded
     condition: tuple | None = None  # t:condition subset: (field, op, value)
+    # <t:meta default-text-matching=.. default-case-sensitive=..> modes
+    # (readme.txt:360-366): how a pattern TEXT matches a page text node
+    text_match: str | None = None   # starts-with | ends-with | exact | regex
+    text_value: str | None = None
+    case_sensitive: bool = True
 
 
 @dataclass(frozen=True)
@@ -75,7 +82,18 @@ class Siblings:
 
 def compile_pattern(spec: list[dict]) -> list:
     out = []
+    meta = {"text-matching": "starts-with", "case-sensitive": True}
     for m in spec:
+        if "meta" in m:
+            # <t:meta default-text-matching=".." default-case-sensitive="..">
+            # applies to every FOLLOWING matcher (readme.txt:360-366)
+            meta["text-matching"] = m["meta"].get(
+                "default-text-matching", meta["text-matching"]
+            )
+            meta["case-sensitive"] = m["meta"].get(
+                "default-case-sensitive", meta["case-sensitive"]
+            )
+            continue
         if "switch" in m:
             out.append(
                 Switch(
@@ -100,6 +118,10 @@ def compile_pattern(spec: list[dict]) -> list:
         if mn is None:
             mn, mx = m["repeat"]  # explicit (min, max) tuple
         cond = m.get("condition")
+        text_match = m.get("text_match")
+        text_value = m.get("text")
+        if text_value is not None and text_match is None:
+            text_match = meta["text-matching"]
         out.append(
             SpanMatcher(
                 kind=m["kind"],
@@ -109,44 +131,93 @@ def compile_pattern(spec: list[dict]) -> list:
                 min_count=mn,
                 max_count=mx,
                 condition=tuple(cond) if cond else None,
+                text_match=text_match,
+                text_value=text_value,
+                case_sensitive=bool(m.get("case_sensitive", meta["case-sensitive"])),
             )
         )
     return out
 
 
-def _span_matches(span: dict, m: SpanMatcher) -> bool:
+def _text_match(m: SpanMatcher, text: str) -> str | None:
+    """matched portion of `text` under the matcher's text mode, or None on
+    no match (starts-with/ends-with/exact/regex × case sensitivity,
+    readme.txt:360-366). The return value feeds `matched-text`."""
+    import re
+
+    value = m.text_value
+    t = text
+    if not m.case_sensitive:
+        t, value = t.lower(), value.lower()
+    mode = m.text_match or "starts-with"
+    if mode == "starts-with":
+        return text[: len(value)] if t.startswith(value) else None
+    if mode == "ends-with":
+        return text[len(text) - len(value):] if t.endswith(value) else None
+    if mode == "exact":
+        return text if t == value else None
+    if mode == "regex":
+        flags = 0 if m.case_sensitive else re.IGNORECASE
+        mt = re.search(m.text_value, text, flags)
+        return mt.group(0) if mt else None
+    raise ValueError(f"unknown text-matching mode {mode!r}")
+
+
+def _span_matches(span: dict, m: SpanMatcher) -> str | None | bool:
+    """False = no match; otherwise the matched text (for matched-text) or
+    True when the matcher has no text test."""
     if span["kind"] != m.kind:
         return False
     if m.text_prefix is not None and not (span.get("text") or "").startswith(m.text_prefix):
         return False
+    if m.text_value is not None:
+        got = _text_match(m, span.get("text") or "")
+        if got is None:
+            return False
+        matched = got
+    else:
+        matched = True
     if m.condition is not None:
         field, op, value = m.condition
-        return _CONDITION_OPS[op](span.get(field) or "", value)
-    return True
+        if not _CONDITION_OPS[op](span.get(field) or "", value):
+            return False
+    return matched
 
 
 def _match_matcher(spans, m: SpanMatcher, si: int, adjacent: bool, cont):
     limit = len(spans) if m.max_count is None else m.max_count
-    occs: list[int] = []
+    occs: list[tuple[int, object]] = []  # (span index, matched-text or True)
     pos = si
     if adjacent:
         # t:siblings: occurrences must be consecutive from the current spot
-        while len(occs) < limit and pos < len(spans) and _span_matches(spans[pos], m):
-            occs.append(pos)
+        while len(occs) < limit and pos < len(spans):
+            got = _span_matches(spans[pos], m)
+            if got is False:
+                break
+            occs.append((pos, got))
             pos += 1
     else:
         while len(occs) < limit and pos < len(spans):
-            if _span_matches(spans[pos], m):
-                occs.append(pos)
+            got = _span_matches(spans[pos], m)
+            if got is not False:
+                occs.append((pos, got))
             pos += 1
     for take in range(len(occs), m.min_count - 1, -1):
-        nxt = (occs[take - 1] + 1) if take else si
+        nxt = (occs[take - 1][0] + 1) if take else si
         rest = cont(nxt)
         if rest is not None:
             mine = []
             if m.capture:
-                for p in occs[:take]:
-                    mine.append((m.capture, spans[p].get(m.field) or ""))
+                for p, got in occs[:take]:
+                    if m.field == "matched-text":
+                        # the text this matcher MATCHED, not the whole span
+                        # (changelog:12 — matched-text replaces text())
+                        val = got if isinstance(got, str) else (
+                            spans[p].get("text") or ""
+                        )
+                    else:
+                        val = spans[p].get(m.field) or ""
+                    mine.append((m.capture, val))
             return mine + rest
     return None
 

@@ -117,12 +117,19 @@ def _builtin_registry() -> ModuleRegistry:
         "project": jf.libjn_project, "remove-keys": jf.libjn_remove_keys,
         "accumulate": jf.libjn_accumulate,
     })
+    from ..crawl.requests import request_combine, request_decode
+    from ..extract.nodefn import deep_text, is_nth, replace_nodes, transform_nodes
+
     r.load_module("pxp", {
         "canonicalize-url": canonicalize, "resolve-html": resolve_url,
         "parse-ietf-date": q.parse_ietf_date,
+        "deep-text": deep_text, "is-nth": is_nth,
+        "transform": transform_nodes,
     })
     r.load_module("x", {
         "extract": st.extract, "extract-all": st.extract_all,
+        "request-combine": request_combine, "request-decode": request_decode,
+        "replace-nodes": replace_nodes,
     })
     return r
 

@@ -25,6 +25,20 @@ SELECT
 FROM orders
 """
 
+REQUEST_COMBINE_FRONTIER = """
+SELECT
+  o_orderkey::BIGINT AS key,
+  CASE WHEN o_orderkey % 2 = 0 THEN 'POST' ELSE 'GET' END AS method,
+  CASE WHEN o_orderkey % 2 = 0 THEN 'p=X&extra=1' ELSE '' END AS body,
+  CASE WHEN o_orderkey % 2 = 0 THEN '' ELSE 'p=X&extra=1' END AS query,
+  'h' || (o_orderkey % 13) || '.test' AS dec_host,
+  '/p/' || o_orderkey AS dec_path,
+  CAST(o_orderkey AS VARCHAR) AS dec_x,
+  CAST(2 AS INT) AS dec_n
+FROM orders
+"""
+
 EXPR_ORACLES = {
     "xpath_expressions": XPATH_EXPRESSIONS,
+    "request_combine_frontier": REQUEST_COMBINE_FRONTIER,
 }

@@ -57,6 +57,47 @@ def q_xpath_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_request_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """request-combine/-decode over a frontier batch (readme.txt:215-217;
+    changelog x:request-decode): per orders row build the form() request,
+    apply overrides (replace p, append extra, REMOVE id via the ()-value
+    rule), and decode a parameterized url — all row-wise Catalyst."""
+    from .crawl.requests import request_combine, request_decode, request_from_form
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").cast("long").alias("key"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    req = request_from_form(
+        F.lit("http://api.test/submit"),
+        F.when(F.col("key") % 2 == 0, F.lit("post")).otherwise(F.lit("get")),
+        F.array(
+            F.struct(F.lit("id").alias("name"), F.col("key").cast("string").alias("value")),
+            F.struct(F.lit("p").alias("name"), F.col("pri").alias("value")),
+        ),
+        F.lit("http://api.test/"),
+    )
+    overrides = F.array(
+        F.struct(F.lit("p").alias("name"), F.lit("X").alias("value")),
+        F.struct(F.lit("extra").alias("name"), F.lit("1").alias("value")),
+        F.struct(F.lit("id").alias("name"), F.lit(None).cast("string").alias("value")),
+    )
+    combined = request_combine(req, overrides)
+    url = F.format_string("http://h%d.test/p/%d?x=%d&y=2", F.col("key") % 13, F.col("key"), F.col("key"))
+    decoded = request_decode(url)
+    return o.select(
+        "key",
+        combined["method"].alias("method"),
+        combined["body"].alias("body"),
+        combined["query"].alias("query"),
+        decoded["host"].alias("dec_host"),
+        decoded["path"].alias("dec_path"),
+        F.element_at(decoded["params"], 1)["value"].alias("dec_x"),
+        F.size(decoded["params"]).alias("dec_n"),
+    )
+
+
 EXPR_QUERIES = {
     "xpath_expressions": q_xpath_expressions,
+    "request_combine_frontier": q_request_combine,
 }
