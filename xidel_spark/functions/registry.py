@@ -119,6 +119,9 @@ def _builtin_registry() -> ModuleRegistry:
     })
     from ..crawl.requests import request_combine, request_decode
     from ..extract.nodefn import deep_text, is_nth, replace_nodes, transform_nodes
+    from .xsd import CONSTRUCTORS
+
+    r.load_module("xs", CONSTRUCTORS)  # the 49-constructor XSD lattice
 
     r.load_module("pxp", {
         "canonicalize-url": canonicalize, "resolve-html": resolve_url,

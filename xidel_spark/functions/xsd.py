@@ -1,0 +1,263 @@
+"""xs:* constructor lattice (web/functions.xml:1-49) — the 49 XML-Schema
+constructor functions mapped onto Spark's type system.
+
+Mapping policy (documented per family):
+  * numerics → try_cast with XSD facet checks (byte/short/int/long ranges,
+    signedness subtypes); out-of-facet → NULL (the lenient 'castable'
+    behavior — xidel raises FORG0001, but a dedup/ETL pipeline wants the
+    try-form; wrap with a null-check to get the raising form)
+  * decimal → DecimalType(38,18) (arbitrary precision up to 38 digits —
+    Spark's widest exact type)
+  * date/dateTime → DateType / TimestampType (try-parse)
+  * time / gYear / gYearMonth / gMonth / gMonthDay / gDay → canonical
+    lexical strings validated by the XSD pattern (Spark has no TIME or
+    Gregorian-fragment types)
+  * dayTimeDuration / yearMonthDuration → DayTimeIntervalType /
+    YearMonthIntervalType via ISO-8601 lexical parsing; xs:duration → a
+    (months, seconds) struct (the XSD duration value space)
+  * strings: normalizedString collapses tab/CR/LF to space, token also
+    collapses runs and trims; NMTOKENS/IDREFS/ENTITIES → array<string>
+  * hexBinary/base64Binary → BinaryType (unhex/unbase64)
+
+The untypedAtomic coercion rules these constructors encode are the same
+weak-typing rules the expression compiler's comparison operators use
+(exprlang/compiler.py; readme.txt:174-176).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# strings
+# ---------------------------------------------------------------------------
+
+
+def xs_string(c: Column) -> Column:
+    return c.cast("string")
+
+
+xs_untypedAtomic = xs_string
+xs_anyURI = xs_string
+
+
+def xs_normalizedString(c: Column) -> Column:
+    return F.regexp_replace(c.cast("string"), r"[\t\r\n]", " ")
+
+
+def xs_token(c: Column) -> Column:
+    return F.trim(F.regexp_replace(c.cast("string"), r"\s+", " "))
+
+
+xs_language = xs_token
+xs_Name = xs_token
+xs_NCName = xs_token
+xs_NMTOKEN = xs_token
+xs_ID = xs_token
+xs_IDREF = xs_token
+xs_ENTITY = xs_token
+xs_QName = xs_token
+
+
+def _token_list(c: Column) -> Column:
+    return F.filter(F.split(F.trim(c.cast("string")), r"\s+"), lambda t: t != "")
+
+
+xs_NMTOKENS = _token_list
+xs_IDREFS = _token_list
+xs_ENTITIES = _token_list
+
+
+# ---------------------------------------------------------------------------
+# boolean / numerics
+# ---------------------------------------------------------------------------
+
+
+def xs_boolean(c: Column) -> Column:
+    s = F.lower(F.trim(c.cast("string")))
+    return (
+        F.when(s.isin("true", "1"), F.lit(True))
+        .when(s.isin("false", "0"), F.lit(False))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+def xs_double(c: Column) -> Column:
+    s = F.trim(c.cast("string"))
+    # XSD lexical INF/-INF/NaN (Spark's cast accepts 'Infinity' spellings)
+    return (
+        F.when(s == "INF", F.lit(float("inf")))
+        .when(s == "-INF", F.lit(float("-inf")))
+        .when(s == "NaN", F.lit(float("nan")))
+        .otherwise(s.try_cast("double"))
+    )
+
+
+xs_float = xs_double
+xs_numeric = xs_double
+
+
+def xs_decimal(c: Column) -> Column:
+    return F.trim(c.cast("string")).try_cast("decimal(38,18)")
+
+
+def xs_integer(c: Column) -> Column:
+    s = F.trim(c.cast("string"))
+    # integer lexical space has no decimal point — '3.9' is NOT an integer
+    # (cast-from-double truncation is the job of the double→integer cast,
+    # which callers do by composing xs:integer(xs:double(x)))
+    direct = F.when(s.rlike(r"^[+-]?\d+$"), s.try_cast("long"))
+    return F.when(
+        s.rlike(r"^[+-]?\d+$"), direct
+    ).otherwise(s.try_cast("double").cast("long"))
+
+
+def _ranged(lo: int | None, hi: int | None):
+    def ctor(c: Column) -> Column:
+        v = xs_integer(c)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (v >= lo)
+        if hi is not None:
+            cond = cond & (v <= hi)
+        return F.when(v.isNotNull() & cond, v)
+
+    return ctor
+
+
+xs_long = _ranged(None, None)
+xs_int = _ranged(-(2**31), 2**31 - 1)
+xs_short = _ranged(-(2**15), 2**15 - 1)
+xs_byte = _ranged(-128, 127)
+xs_unsignedLong = _ranged(0, None)  # capped at long range in this mapping
+xs_unsignedInt = _ranged(0, 2**32 - 1)
+xs_unsignedShort = _ranged(0, 2**16 - 1)
+xs_unsignedByte = _ranged(0, 255)
+xs_nonNegativeInteger = _ranged(0, None)
+xs_positiveInteger = _ranged(1, None)
+xs_nonPositiveInteger = _ranged(None, 0)
+xs_negativeInteger = _ranged(None, -1)
+
+
+# ---------------------------------------------------------------------------
+# date / time / Gregorian fragments
+# ---------------------------------------------------------------------------
+
+
+def xs_date(c: Column) -> Column:
+    s = F.trim(c.cast("string"))
+    return F.to_date(
+        F.when(s.rlike(r"^-?\d{4,}-\d{2}-\d{2}"), F.substring(s, 1, 10))
+    )
+
+
+def xs_dateTime(c: Column) -> Column:
+    s = F.trim(c.cast("string"))
+    return F.try_to_timestamp(F.regexp_replace(s, "T", " "))
+
+
+xs_dateTimeStamp = xs_dateTime
+
+
+def xs_time(c: Column) -> Column:
+    """canonical 'HH:MM:SS(.fff)?' string (Spark has no TIME type)."""
+    s = F.trim(c.cast("string"))
+    return F.when(s.rlike(r"^([01]\d|2[0-3]):[0-5]\d:[0-5]\d(\.\d+)?$"), s)
+
+
+def _pattern_string(pattern: str):
+    def ctor(c: Column) -> Column:
+        s = F.trim(c.cast("string"))
+        return F.when(s.rlike(pattern), s)
+
+    return ctor
+
+
+xs_gYear = _pattern_string(r"^-?\d{4,}$")
+xs_gYearMonth = _pattern_string(r"^-?\d{4,}-(0[1-9]|1[0-2])$")
+xs_gMonth = _pattern_string(r"^--(0[1-9]|1[0-2])$")
+xs_gMonthDay = _pattern_string(r"^--(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])$")
+xs_gDay = _pattern_string(r"^---(0[1-9]|[12]\d|3[01])$")
+
+
+# ---------------------------------------------------------------------------
+# durations
+# ---------------------------------------------------------------------------
+
+_DUR_RX = (
+    r"^(-)?P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)D)?"
+    r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$"
+)
+
+
+def _dur_part(s: Column, idx: int) -> Column:
+    return F.coalesce(F.regexp_extract(s, _DUR_RX, idx).try_cast("double"), F.lit(0.0))
+
+
+def _dur_sign(s: Column) -> Column:
+    return F.when(F.regexp_extract(s, _DUR_RX, 1) == "-", F.lit(-1.0)).otherwise(F.lit(1.0))
+
+
+def duration_parts(c: Column) -> Column:
+    """xs:duration → struct(months long, seconds double) — the XSD duration
+    value space (months + seconds are the two independent components)."""
+    s = F.trim(c.cast("string"))
+    sign = _dur_sign(s)
+    months = sign * (_dur_part(s, 2) * 12 + _dur_part(s, 3))
+    seconds = sign * (
+        _dur_part(s, 4) * 86400 + _dur_part(s, 5) * 3600 + _dur_part(s, 6) * 60 + _dur_part(s, 7)
+    )
+    ok = s.rlike(_DUR_RX) & (s != "P") & (s != "-P")
+    return F.when(
+        ok,
+        F.struct(months.cast("long").alias("months"), seconds.alias("seconds")),
+    )
+
+
+xs_duration = duration_parts
+
+
+def xs_dayTimeDuration(c: Column) -> Column:
+    """ISO 'PnDTnHnMnS' → DayTimeIntervalType (sign applied per XSD)."""
+    s = F.trim(c.cast("string"))
+    sign = _dur_sign(s)
+    total = sign * (
+        _dur_part(s, 4) * 86400 + _dur_part(s, 5) * 3600 + _dur_part(s, 6) * 60 + _dur_part(s, 7)
+    )
+    ok = s.rlike(_DUR_RX) & (s != "P") & (s != "-P")
+    return F.when(ok, F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), total))
+
+
+def xs_yearMonthDuration(c: Column) -> Column:
+    s = F.trim(c.cast("string"))
+    sign = _dur_sign(s)
+    months = (sign * (_dur_part(s, 2) * 12 + _dur_part(s, 3))).cast("int")
+    ok = s.rlike(_DUR_RX) & (s != "P") & (s != "-P")
+    return F.when(ok, F.make_ym_interval(F.lit(0), months))
+
+
+# ---------------------------------------------------------------------------
+# binary / error
+# ---------------------------------------------------------------------------
+
+
+def xs_hexBinary(c: Column) -> Column:
+    s = F.trim(c.cast("string"))
+    return F.when(s.rlike(r"^([0-9a-fA-F]{2})*$"), F.unhex(s))
+
+
+def xs_base64Binary(c: Column) -> Column:
+    return F.unbase64(F.trim(c.cast("string")))
+
+
+def xs_error(c: Column) -> Column:
+    """xs:error has an empty value space — every cast to it fails."""
+    return F.raise_error(F.lit("cast to xs:error (empty value space)"))
+
+
+CONSTRUCTORS = {
+    name[3:]: fn
+    for name, fn in list(globals().items())
+    if name.startswith("xs_") and callable(fn)
+}

@@ -38,7 +38,29 @@ SELECT
 FROM orders
 """
 
+XS_CONSTRUCTORS = """
+SELECT
+  o_orderkey::BIGINT AS key,
+  o_orderkey::BIGINT AS i,
+  CASE WHEN (o_orderkey % 300 - 150) BETWEEN -128 AND 127
+       THEN (o_orderkey % 300 - 150)::BIGINT END AS b,
+  CAST(CAST(o_orderkey || '.25' AS DECIMAL(38,18)) AS VARCHAR) AS dec,
+  (o_orderkey % 2 = 0) AS bool,
+  CAST(o_orderdate AS DATE) AS d,
+  CAST(strftime(o_orderdate, '%Y-%m-%d') || ' 12:34:56' AS TIMESTAMP) AS ts,
+  CAST(o_orderdate AS DATE)::TIMESTAMP + INTERVAL (o_orderkey % 7) HOUR AS plus_dtd,
+  CAST(CAST(o_orderdate AS DATE) + INTERVAL (o_orderkey % 5) MONTH AS DATE) AS plus_ym,
+  CAST(0 AS BIGINT) AS dur_months,
+  -CAST(o_orderkey % 3 AS DOUBLE) * 86400 - 7200 AS dur_secs,
+  strftime(o_orderdate, '%Y-%m') AS gym,
+  'a ' || o_orderkey || ' b' AS tok,
+  printf('%02d:05:06', o_orderkey % 24) AS t,
+  CASE WHEN o_orderkey % 10 >= 5 THEN (o_orderkey % 10 - 5)::BIGINT END AS nni
+FROM orders
+"""
+
 EXPR_ORACLES = {
     "xpath_expressions": XPATH_EXPRESSIONS,
     "request_combine_frontier": REQUEST_COMBINE_FRONTIER,
+    "xs_constructors": XS_CONSTRUCTORS,
 }

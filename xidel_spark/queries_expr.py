@@ -97,7 +97,51 @@ def q_request_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xs_constructors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xs:* constructor lattice (web/functions.xml:1-49) over lexical
+    strings derived per orders row: integer facets, decimal(38,18),
+    boolean words, date/dateTime parsing, dayTime/yearMonth durations as
+    real interval arithmetic, Gregorian fragments, token collapsing —
+    each mirrored by a DuckDB CAST oracle."""
+    from .functions import xsd
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").cast("long").alias("key"),
+        F.col("o_orderdate").cast("timestamp").alias("odate"),
+    )
+    key, odate = F.col("key"), F.col("odate")
+    lex_int = F.format_string("  %d ", key)
+    lex_dec = F.format_string("%d.25", key)
+    lex_bool = F.when(key % 2 == 0, F.lit("true")).otherwise(F.lit("0"))
+    lex_date = F.date_format(odate, "yyyy-MM-dd")
+    lex_dt = F.concat(lex_date, F.lit("T12:34:56"))
+    lex_dtd = F.format_string("PT%dH", key % 7)
+    lex_ymd = F.format_string("P%dM", key % 5)
+    lex_dur = F.format_string("-P%dDT2H", key % 3)
+    lex_gym = F.date_format(odate, "yyyy-MM")
+    lex_tok = F.format_string("  a  %d   b ", key)
+    lex_time = F.format_string("%02d:05:06", key % 24)
+    return o.select(
+        "key",
+        xsd.xs_integer(lex_int).alias("i"),
+        xsd.xs_byte((key % 300 - 150).cast("string")).alias("b"),
+        xsd.xs_decimal(lex_dec).cast("string").alias("dec"),
+        xsd.xs_boolean(lex_bool).alias("bool"),
+        xsd.xs_date(lex_date).alias("d"),
+        xsd.xs_dateTime(lex_dt).alias("ts"),
+        (odate + xsd.xs_dayTimeDuration(lex_dtd)).alias("plus_dtd"),
+        (odate.cast("date") + xsd.xs_yearMonthDuration(lex_ymd)).cast("date").alias("plus_ym"),
+        xsd.xs_duration(lex_dur)["months"].alias("dur_months"),
+        xsd.xs_duration(lex_dur)["seconds"].alias("dur_secs"),
+        xsd.xs_gYearMonth(lex_gym).alias("gym"),
+        xsd.xs_token(lex_tok).alias("tok"),
+        xsd.xs_time(lex_time).alias("t"),
+        xsd.xs_nonNegativeInteger((key % 10 - 5).cast("string")).alias("nni"),
+    )
+
+
 EXPR_QUERIES = {
     "xpath_expressions": q_xpath_expressions,
     "request_combine_frontier": q_request_combine,
+    "xs_constructors": q_xs_constructors,
 }
