@@ -125,3 +125,59 @@ def test_htmlraw2_golden(spark, docs):
     body = [r["line"] for r in html_wrapped(nodes).collect()]
     got = HTML_HEADER.splitlines() + body + [HTML_FOOTER]
     assert got == G.joinpath("htmlraw2").read_text().splitlines()
+
+
+def _ref_golden(name):
+    from pathlib import Path
+
+    return Path("/root/reference/tests/output").joinpath(name).read_text()
+
+
+def test_output_separator_goldens():
+    """--output-separator/-header/-footer/-declaration byte-exact vs the
+    reference goldens (tests/tests.sh:146,263-268): '(1,2)' -e 5 -e '""'
+    -e v:=18 -e 0 under adhoc/xml/html with separator 'x' and the
+    '<div>'/'<br>' overrides; xmlraw1c pins a custom declaration with the
+    default separator and the implicit raw wrapper."""
+    from xidel_spark.io.golden_output import serialize_document
+
+    items = [(None, "1"), (None, "2"), (None, "5"), (None, ""), ("v", "18"), (None, "0")]
+    assert serialize_document(items, "adhoc", separator="x") == _ref_golden("separator-adhoc")
+    assert serialize_document(items, "xml", separator="x") == _ref_golden("separator-xml")
+    assert serialize_document(items, "html", separator="x") == _ref_golden("separator-html")
+    assert serialize_document(
+        items, "xml", separator="<br>", header="<div>", footer="</div>"
+    ) == _ref_golden("separator-xml2")
+    assert serialize_document(
+        items, "html", separator="<br>", header="<div>", footer="</div>"
+    ) == _ref_golden("separator-html2")
+    raw = [(None, '<a href="b.xml">b</a>'), (None, '<a href="c.xml">c</a>')]
+    assert serialize_document(raw, "xml", declaration="<?xml>") == _ref_golden("xmlraw1c")
+
+
+def test_output_encoding():
+    from xidel_spark.io.golden_output import encode_output, serialize_document
+
+    s = serialize_document([(None, "héllo")], "adhoc")
+    assert encode_output(s) == "héllo\n".encode("utf-8")
+    assert encode_output(s, "latin-1") == b"h\xe9llo\n"
+    import pytest
+
+    with pytest.raises(UnicodeEncodeError):
+        encode_output("日本\n", "latin-1")
+
+
+def test_assemble_document_distributed(spark):
+    """the DataFrame assembly matches serialize_document byte-for-byte on
+    the separator-xml golden, with ordering restored from an order column."""
+    from xidel_spark.io.output import assemble_document
+
+    rows = [(1, None, "1"), (2, None, "2"), (3, None, "5"), (4, None, ""),
+            (5, "v", "18"), (6, None, "0")]
+    df = spark.createDataFrame(rows, "ord int, name string, value string").repartition(4)
+    got = assemble_document(
+        df, value_col="value", name_col="name", order_col="ord",
+        fmt="xml", separator="x",
+    ).first()
+    assert got["line"] == _ref_golden("separator-xml")
+    assert bytes(got["bytes"]) == _ref_golden("separator-xml").encode()

@@ -67,3 +67,96 @@ def bash_lines(log: list[tuple[str, str]]) -> list[str]:
             out.append(f"{n}[{c}]={q}")
         counts[n] = c + 1
     return out
+
+
+# ---------------------------------------------------------------------------
+# --output-separator / --output-header / --output-footer / --output-declaration
+# (xidelcrt.pas:148-252 initOutput/writeOutputHeader/needRawWrapper; byte-
+# exact vs tests/output/{separator-adhoc,separator-xml,separator-html,
+# separator-xml2,separator-html2,xmlraw1c})
+# ---------------------------------------------------------------------------
+
+_DEFAULT_DECLARATION = {
+    "xml": '<?xml version="1.0" encoding="{enc}"?>',
+    "xml-wrapped": '<?xml version="1.0" encoding="{enc}"?>',
+    "html": "<!DOCTYPE html>",
+}
+_RAW_WRAPPER = {
+    "xml": ("<xml>", "</xml>"),
+    "xml-wrapped": ("<xml>", "</xml>"),
+    "html": ("<html><body>", "</body></html>"),
+}
+
+
+def format_item(fmt: str, name: str | None, value: str) -> str:
+    """one output item: adhoc 'name := value', xml '<name>v</name>',
+    html '<span class=\"name\">v</span>' — unnamed values print raw."""
+    if name is None or name == "result":
+        return value
+    if fmt in ("xml", "xml-wrapped"):
+        return f"<{name}>{value}</{name}>"
+    if fmt == "html":
+        return f'<span class="{name}">{value}</span>'
+    return f"{name} := {value}"
+
+
+def serialize_document(
+    items: list[tuple[str | None, str]],
+    fmt: str = "adhoc",
+    separator: str | None = None,
+    header: str | None = None,
+    footer: str | None = None,
+    declaration: str | None = None,
+    encoding: str = "UTF-8",
+) -> str:
+    """Assemble one output document under the reference's rules:
+
+    - declaration defaults per format (xml prolog with the output encoding,
+      html doctype); an explicit --output-declaration overrides it; a line
+      break follows the declaration for the raw xml/html formats.
+    - with no explicit header, xml/html get the raw wrapper
+      (<xml>/<html><body>); the wrapper's closing tag is preceded by a
+      line break ONLY when the separator is the default line ending, and
+      always followed by one. An explicit footer is written verbatim.
+    - items are joined with the separator (default: line ending); adhoc
+      with neither header nor footer ends with a line break.
+    """
+    sep = "\n" if separator is None else separator
+    decl = declaration
+    if decl is None:
+        decl = _DEFAULT_DECLARATION.get(fmt, "").format(enc=encoding)
+    parts: list[str] = []
+    if decl:
+        parts.append(decl)
+        if header is not None:
+            parts.append("\n")
+        elif fmt in ("xml", "xml-wrapped", "html"):
+            parts.append("\n")  # implicit break after declaration (raw xml/html)
+    wrapper_footer = None
+    if header is not None:
+        parts.append(header)
+    elif fmt in _RAW_WRAPPER:
+        h, f = _RAW_WRAPPER[fmt]
+        le = "\n" if separator is None else ""
+        parts.append(h)
+        if separator is None:
+            parts.append("\n")
+        if footer is None:
+            wrapper_footer = le + f + "\n"
+    body = sep.join(format_item(fmt, n, v) for n, v in items)
+    parts.append(body)
+    if footer is not None:
+        parts.append(footer)
+    elif wrapper_footer is not None:
+        parts.append(wrapper_footer)
+    else:
+        if not body.endswith("\n"):
+            parts.append("\n")
+    return "".join(parts)
+
+
+def encode_output(s: str, encoding: str = "UTF-8") -> bytes:
+    """--output-encoding: the final byte stream (utf-8 default; latin1 and
+    friends for legacy consumers; characters outside the target charset
+    raise, matching the reference's strict conversion)."""
+    return s.encode(encoding)

@@ -124,3 +124,82 @@ def bash_vars(log: DataFrame) -> DataFrame:
     return log.select(
         F.concat(F.col("var_name"), F.lit("='"), esc, F.lit("'")).alias("line")
     )
+
+
+def assemble_document(
+    values: DataFrame,
+    value_col: str = "value",
+    name_col: str | None = None,
+    order_col: str | None = None,
+    fmt: str = "adhoc",
+    separator: str | None = None,
+    header: str | None = None,
+    footer: str | None = None,
+    declaration: str | None = None,
+    encoding: str = "UTF-8",
+) -> DataFrame:
+    """Distributed --output-separator/-header/-footer/-declaration assembly:
+    items are formatted per format as column expressions, sort-merged into
+    ONE document string (single-row result — an output document is one
+    artifact by definition; the per-item formatting and ordering stay
+    distributed). Byte semantics match golden_output.serialize_document.
+    Returns a one-row DataFrame (line STRING, bytes BINARY)."""
+    from .golden_output import _DEFAULT_DECLARATION, _RAW_WRAPPER
+
+    v = F.col(value_col).cast("string")
+    if name_col is not None:
+        n = F.col(name_col)
+        named = (
+            F.when(
+                n.isNull() | (n == "result"), v
+            )
+        )
+        if fmt in ("xml", "xml-wrapped"):
+            named = named.otherwise(F.concat(F.lit("<"), n, F.lit(">"), v, F.lit("</"), n, F.lit(">")))
+        elif fmt == "html":
+            named = named.otherwise(
+                F.concat(F.lit('<span class="'), n, F.lit('">'), v, F.lit("</span>"))
+            )
+        else:
+            named = named.otherwise(F.concat(n, F.lit(" := "), v))
+        item = named
+    else:
+        item = v
+    ordered = values.select(item.alias("__item"), *(
+        [F.col(order_col).alias("__ord")] if order_col else []
+    ))
+    if order_col:
+        agg = ordered.agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__ord", "__item"))),
+                    lambda s: s["__item"],
+                ),
+                "\n" if separator is None else separator,
+            ).alias("body")
+        )
+    else:
+        agg = ordered.agg(
+            F.array_join(F.collect_list("__item"), "\n" if separator is None else separator).alias("body")
+        )
+    decl = declaration
+    if decl is None:
+        decl = _DEFAULT_DECLARATION.get(fmt, "").format(enc=encoding)
+    pre = ""
+    if decl:
+        pre = decl + ("\n" if (header is not None or fmt in ("xml", "xml-wrapped", "html")) else "")
+    post = ""
+    if header is not None:
+        pre += header
+    elif fmt in _RAW_WRAPPER:
+        h, f = _RAW_WRAPPER[fmt]
+        le = "\n" if separator is None else ""
+        pre += h + ("\n" if separator is None else "")
+        if footer is None:
+            post = le + f + "\n"
+    if footer is not None:
+        post = footer
+    line = F.concat(F.lit(pre), F.col("body"), F.when(
+        F.lit(footer is not None or post != ""), F.lit(post)
+    ).otherwise(F.when(F.col("body").endswith("\n"), F.lit("")).otherwise(F.lit("\n"))))
+    return agg.select(line.alias("line"), F.encode(line, encoding.lower()).alias("bytes"))
