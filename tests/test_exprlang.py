@@ -194,3 +194,34 @@ def test_no_python_udf_in_expression_plan(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_expression_predicates_in_paths(spark):
+    """round-3 unification: path predicates beyond the fixed vocabulary
+    compile through the expression language — position math, numeric
+    attribute comparisons, function calls, not()."""
+    from xidel_spark.extract.nodes import parse_auto_nodes
+    from xidel_spark.extract.xpath import compile_xpath
+
+    html = "<d><a x='1'>one</a><a x='5'>two</a><a x='9'>three</a><a>four</a></d>"
+    nd = (
+        spark.createDataFrame([(html,)], "m string")
+        .select(parse_auto_nodes(F.col("m")).alias("nodes"))
+        .localCheckpoint()
+    )
+    cases = [
+        ("//a[2]", ["two"]),
+        ("//a[@x > 4]", ["two", "three"]),
+        ("//a[position() mod 2 = 1]", ["one", "three"]),
+        ("//a[position() = last() - 1]", ["three"]),
+        ("//a[number(@x) + 1 = 6]", ["two"]),
+        ("//a[string-length(.) > 3]", ["three", "four"]),
+        ("//a[not(@x)]", ["four"]),
+    ]
+    cols = [
+        compile_xpath(sel).values(F.col("nodes")).alias(f"c{i}")
+        for i, (sel, _) in enumerate(cases)
+    ]
+    row = nd.select(*cols).first()
+    for i, (sel, want) in enumerate(cases):
+        assert list(row[f"c{i}"]) == want, sel

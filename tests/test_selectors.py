@@ -198,8 +198,16 @@ def test_selector_plan_is_pure_catalyst(spark):
 
 
 def test_unsupported_selector_raises():
+    # round 3: predicates beyond the fixed vocabulary parse as general
+    # expressions; an UNKNOWN function now fails at evaluation through the
+    # registry (KeyError naming candidates), not at parse
+    from xidel_spark.extract.xpath import matched_type
+
+    sel = compile_xpath("//a[foo(bar)]")
+    with pytest.raises(KeyError):
+        sel.ids(F.array().cast(matched_type()))
     with pytest.raises(ValueError):
-        compile_xpath("//a[foo(bar)]")
+        compile_xpath("//a[@@]")
     with pytest.raises(ValueError):
         compile_css("p::before")
 

@@ -108,11 +108,15 @@ class Compiler:
     # -- coercions ----------------------------------------------------------
 
     def _first(self, tv: TV) -> TV:
-        """first item of a sequence (XPath scalar contexts atomize)."""
+        """first item of a sequence (XPath scalar contexts atomize);
+        empty sequence → NULL (try_element_at — ANSI element_at raises)."""
         if tv.kind == "nodes":
-            return TV(self._node_text(F.element_at(tv.col, 1)), "string")
+            first = F.try_element_at(tv.col, F.lit(1))
+            return TV(
+                F.when(first.isNotNull(), self._node_text(first)), "string"
+            )
         if tv.kind.startswith("seq:"):
-            return TV(F.element_at(tv.col, 1), tv.elem_kind)
+            return TV(F.try_element_at(tv.col, F.lit(1)), tv.elem_kind)
         return tv
 
     def _node_text(self, node_id: Column) -> Column:

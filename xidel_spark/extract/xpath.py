@@ -226,8 +226,35 @@ class _Parser:
             self.expect("sym", "]")
 
     def _parse_pred(self):
+        start = self.i
+        try:
+            out = self._parse_pred_fixed()
+            if self.peek() == ("sym", "]"):  # fixed form must consume fully
+                return out
+        except ValueError:
+            pass
+        # general expression predicate (round 3): anything the fixed
+        # vocabulary doesn't cover — arithmetic, comparisons, function
+        # calls, position()/last() math — compiles through the expression
+        # language (exprlang) with the node as the context item
+        self.i = start
+        from ..exprlang.parser import ExprParser
+
+        p = ExprParser.__new__(ExprParser)
+        p.src = self.src
+        p.toks = self.toks
+        p.i = self.i
+        ast = p.parse_sub()
+        self.i = p.i
+        if self.peek() != ("sym", "]"):
+            raise ValueError(
+                f"xpath: cannot parse predicate in {self.src!r} at {self.toks[self.i:]!r}"
+            )
+        return ("expr", ast)
+
+    def _parse_pred_fixed(self):
         k, v = self.peek()
-        if k == "num":
+        if k == "num" and self.peek(1) == ("sym", "]") and v.isdigit():
             self.next()
             return ("pos", int(v))
         if k == "func" and v == "last()":
@@ -255,6 +282,8 @@ class _Parser:
             src = "text()" if k == "func" else "."
             self.next()
             op = self.expect("op")
+            if op not in ("=", "!="):  # ordered string tests → expression path
+                raise ValueError(f"xpath: {op!r} string test routes to exprlang")
             val = self._string()
             return ("str-cmp", src, op, val)
         if k == "name" and v in ("contains", "starts-with", "ends-with"):
@@ -267,8 +296,10 @@ class _Parser:
                 val = self._string()
                 self.expect("sym", ")")
                 return ("fn", v, arg, val)
-        # fall through: relative path existence
+        # relative path existence — only when the whole predicate IS a path
         sub = self.parse_path()
+        if self.peek() != ("sym", "]"):
+            raise ValueError(f"xpath: predicate is not a bare path in {self.src!r}")
         return ("path", sub)
 
     def _fn_arg(self):
@@ -322,6 +353,16 @@ _TOKEN2 = re.compile(
 
 
 def _retok(s: str) -> list[tuple[str, str]]:
+    """Tokenize with the expression language's superset tokenizer — same
+    kinds for all path syntax, plus the tokens general predicates need
+    ('+', decimals, $vars, '||'); the legacy regex remains as a fallback
+    for inputs the richer grammar can't lex."""
+    try:
+        from ..exprlang.parser import tokenize
+
+        return tokenize(s)
+    except ValueError:
+        pass
     out, i = [], 0
     while i < len(s):
         if s[i:].strip() == "":
@@ -497,9 +538,32 @@ def _apply_step(nodes: Column, ctx_ids: Column, step: Step) -> Column:
         def pred_filter(p):
             return lambda n: _node_pred(p, nodes, n)
 
+        def expr_filter(matched, ast):
+            # general expression predicate (exprlang): context item = the
+            # node, position()/last() bound from the filtered axis result;
+            # a numeric result is a position test (XPath §3.2.1)
+            from ..exprlang.compiler import NUM_KINDS, Compiler, TV
+
+            size = F.size(matched)
+
+            def fn(n, i):
+                comp = Compiler(
+                    env=None, nodes=nodes,
+                    ctx=TV(F.array(n["id"]), "nodes"),
+                    pos=i + 1, size=size,
+                )
+                tv = comp.compile(ast)
+                if tv.kind in NUM_KINDS:
+                    return (i + 1).cast("double") == comp.to_number(tv)
+                return comp.ebv(tv)
+
+            return F.filter(matched, fn)
+
         for tag, p in list_preds:
             if tag == "positional":
                 matched = _positional(p, matched)
+            elif p[0] == "expr":
+                matched = expr_filter(matched, p[1])
             else:
                 matched = F.filter(matched, pred_filter(p))
         return F.transform(matched, lambda n: n["id"])
