@@ -213,6 +213,7 @@ def main() -> None:
         "bloom_speedup_vs_exact": extras["bloom_speedup_vs_exact"],
         "bloom_exact_antijoin_sec": extras["bloom_exact_antijoin_sec"],
         "bloom_build_sec": extras["bloom_build_sec"],
+        "url_canonicalize_expr_sec": extras["url_canonicalize_expr_sec"],
     }
     print(json.dumps(line))
     spark.stop()

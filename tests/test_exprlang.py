@@ -225,3 +225,28 @@ def test_expression_predicates_in_paths(spark):
     row = nd.select(*cols).first()
     for i, (sel, want) in enumerate(cases):
         assert list(row[f"c{i}"]) == want, sel
+
+
+def test_xpath31_operators(spark):
+    """XPath 3.1/4.0 surface from the changelog: '=>' arrow, '!' simple
+    map, 'otherwise', JSONiq array literals."""
+    cases = [
+        ("'abc' => upper-case()", "ABC"),
+        ("'a,b,c' => tokenize(',') => count()", "3"),
+        ("(1,2,3) ! (. * 10)", "10\n20\n30"),
+        ("(1 to 3) ! position()", "1\n2\n3"),
+        ("() otherwise 'fallback'", "fallback"),
+        ("'x' otherwise 'y'", "x"),
+        ("(1,2) otherwise 9", "1\n2"),
+        ("[1, 2, 3]", "1\n2\n3"),
+        ("count([4,5])", "2"),
+        ("sum([1,2,3] ! (. + 1))", "9"),
+        ("-2 ! (. + 1)", "-3"),  # unary binds above simple map
+        ("'7' => xs:integer() + 1", "8"),
+        ("'a,b' => tokenize(',') ! upper-case(.)", "A\nB"),
+    ]
+    df = spark.range(1)
+    cols = [compile_expr(s).string().alias(f"c{i}") for i, (s, _) in enumerate(cases)]
+    row = df.select(*cols).first()
+    for i, (src, want) in enumerate(cases):
+        assert row[f"c{i}"] == want, f"{src!r}: want {want!r} got {row[f'c{i}']!r}"

@@ -543,6 +543,41 @@ class Compiler:
         col = go(0, self)
         return TV(col, f"seq:{out_kind[0] if out_kind else 'string'}")
 
+    # -- XPath 3.1 / 4.0 operators ----------------------------------------------
+
+    def _c_arrow(self, n: P.Arrow) -> TV:
+        return self._c_call(P.Call(n.qname, [n.base] + list(n.args)))
+
+    def _c_simplemap(self, n: P.SimpleMap) -> TV:
+        src = self.compile(n.src)
+        seq = src if src.is_seq else self.to_seq(src)
+        ek = seq.elem_kind
+        out_kind: list[str] = []
+
+        def body(el, i):
+            ctx = TV(F.array(el), "nodes") if ek == "nodes" else TV(el, ek)
+            sub = self.bind(__ctx=ctx, __pos=i + 1, __size=F.size(seq.col))
+            tv = sub.compile(n.body)
+            tv_seq = tv if tv.is_seq else sub.to_seq(tv)
+            if tv_seq.kind == "nodes":
+                tv_seq = sub.atomize_seq(tv_seq)
+            out_kind.append(tv_seq.elem_kind)
+            return tv_seq.col
+
+        col = F.flatten(F.transform(seq.col, body))
+        return TV(col, f"seq:{out_kind[0] if out_kind else 'string'}")
+
+    def _c_otherwise(self, n: P.Otherwise) -> TV:
+        l, r = self.compile(n.left), self.compile(n.right)
+        if not l.is_seq and not r.is_seq and l.kind == r.kind:
+            return TV(F.coalesce(l.col, r.col), l.kind)
+        ls = self.atomize_seq(l) if l.kind == "nodes" else (l if l.is_seq else self.to_seq(l))
+        rs = self.atomize_seq(r) if r.kind == "nodes" else (r if r.is_seq else self.to_seq(r))
+        if ls.kind != rs.kind:
+            ls = TV(self._seq_cast(ls, "string"), "seq:string")
+            rs = TV(self._seq_cast(rs, "string"), "seq:string")
+        return TV(F.when(F.size(ls.col) > 0, ls.col).otherwise(rs.col), ls.kind)
+
     # -- casts / calls -------------------------------------------------------------
 
     _CASTS = {
@@ -571,6 +606,42 @@ class Compiler:
         except KeyError:
             raise ValueError(f"expr: unsupported cast target {t!r}") from None
 
+    # registry functions whose return shape the static typer should know
+    # (sequence-valued returns would otherwise degrade to scalar 'any',
+    # breaking count()/'!'/existential semantics downstream)
+    _REGISTRY_KINDS = {
+        "tokenize": "seq:string",
+        "extract-all": "seq:string",
+        "analyze-string-matches": "seq:string",
+        "string-to-codepoints": "seq:long",
+        "codepoints-to-string": "string",
+        "distinct-values": "seq:string",
+        "subsequence": "seq:string",
+        "insert-before": "seq:string",
+        "remove": "seq:string",
+        "reverse": "seq:string",
+        "sort": "seq:string",
+        "upper-case": "string",
+        "lower-case": "string",
+        "normalize-space": "string",
+        "substring": "string",
+        "substring-before": "string",
+        "substring-after": "string",
+        "translate": "string",
+        "replace": "string",
+        "encode-for-uri": "string",
+        "string-length": "long",
+        "abs": "double",
+        "ceiling": "double",
+        "floor": "double",
+        "round": "double",
+        "matches": "bool",
+        "contains": "bool",
+        "starts-with": "bool",
+        "ends-with": "bool",
+        "compare": "long",
+    }
+
     def _c_call(self, n: P.Call) -> TV:
         name = n.qname
         local = name.split(":", 1)[-1]
@@ -587,7 +658,12 @@ class Compiler:
                 cols.append(self.to_string(a))
             else:
                 cols.append(a.col)
-        return TV(fn(*cols), "any")
+        kind = "any"
+        if ":" not in name or name.startswith("fn:"):
+            kind = self._REGISTRY_KINDS.get(local, "any")
+        elif name.startswith("xs:"):
+            kind = "any"
+        return TV(fn(*cols), kind)
 
     # special forms: functions whose semantics need the typed value model
     def _f_string(self, args: list[TV]) -> TV:

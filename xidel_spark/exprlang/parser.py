@@ -127,6 +127,28 @@ class CastAs:
     type_qname: str
 
 
+@dataclass
+class Arrow:
+    """a => f(b, c) ≡ f(a, b, c) (XPath 3.1 arrow operator)."""
+    base: object
+    qname: str
+    args: list
+
+
+@dataclass
+class SimpleMap:
+    """a ! expr (XPath 3.1 simple map): expr per item, '.' bound."""
+    src: object
+    body: object
+
+
+@dataclass
+class Otherwise:
+    """A otherwise B (XPath 4.0): A when non-empty, else B."""
+    left: object
+    right: object
+
+
 # ---------------------------------------------------------------------------
 # tokenizer — a superset of extract.xpath's token stream, same kinds, so
 # the path parser consumes slices of it directly
@@ -146,9 +168,11 @@ _TOKEN = re.compile(
       | (?P<str>'(?:[^']|'')*'|"(?:[^"]|"")*")
       | (?P<dotdot>\.\.)
       | (?P<dbar>\|\|)
+      | (?P<arrow>=>)
       | (?P<slash>/)
       | (?P<op><=|>=|!=|=|<|>|\+)
       | (?P<minus>-)
+      | (?P<bang>!)
       | (?P<sym>[@\[\]().,*|{}?])
     )""",
     re.VERBOSE,
@@ -217,7 +241,7 @@ class ExprParser:
 
     # -- entry --------------------------------------------------------------
     def parse(self):
-        e = self.or_expr()
+        e = self.parse_sub()
         if self.peek()[0] is not None:
             raise ValueError(
                 f"expr: trailing tokens in {self.src!r}: {self.toks[self.i:]!r}"
@@ -226,7 +250,12 @@ class ExprParser:
 
     def parse_sub(self):
         """expression up to the current nesting boundary (no EOF check)."""
-        return self.or_expr()
+        a = self.or_expr()
+        while self.at_word("otherwise"):
+            # XPath 4.0 'otherwise' (changelog:6): first non-empty operand
+            self.next()
+            a = Otherwise(a, self.or_expr())
+        return a
 
     # -- precedence ladder ---------------------------------------------------
     def or_expr(self):
@@ -299,10 +328,42 @@ class ExprParser:
         if (k == "sym" and v == "-") or (k == "op" and v == "+"):
             self.next()
             return UnaryOp(v, self.unary_expr())
-        return self.cast_expr()
+        return self.map_expr()
+
+    def map_expr(self):
+        """SimpleMapExpr: a ! expr (XPath 3.1, changelog:5)."""
+        a = self.arrow_expr()
+        while self.peek()[0] == "bang":
+            self.next()
+            a = SimpleMap(a, self.arrow_expr())
+        return a
+
+    def arrow_expr(self):
+        """ArrowExpr: a => f(b) ≡ f(a, b) (XPath 3.1, changelog:5)."""
+        a = self.cast_expr()
+        while self.peek()[0] == "arrow":
+            self.next()
+            nk, nv = self.next()
+            if nk == "func":
+                a = Arrow(a, nv[:-2], [])
+                continue
+            if nk != "name":
+                raise ValueError(f"expr: '=>' needs a function name in {self.src!r}")
+            self.expect("sym", "(")
+            args = []
+            if self.peek() != ("sym", ")"):
+                args.append(self.parse_sub())
+                while self.peek() == ("sym", ","):
+                    self.next()
+                    args.append(self.parse_sub())
+            self.expect("sym", ")")
+            a = Arrow(a, nv, args)
+        return self._cast_suffix(a)
 
     def cast_expr(self):
-        a = self.union_expr()
+        return self._cast_suffix(self.union_expr())
+
+    def _cast_suffix(self, a):
         while self.at_word("cast"):
             self.next()
             if not self.at_word("as"):
@@ -387,6 +448,19 @@ class ExprParser:
                 items.append(self.parse_sub())
             self.expect("sym", ")")
             return items[0] if len(items) == 1 else SeqExpr(items)
+        if k == "sym" and v == "[":
+            # JSONiq array literal (readme.txt:137-141) — value-space mapped
+            # to a Spark array; nested arrays flatten into the seq model
+            # (jn:members is the identity under this mapping)
+            self.next()
+            items = []
+            if self.peek() != ("sym", "]"):
+                items.append(self.parse_sub())
+                while self.peek() == ("sym", ","):
+                    self.next()
+                    items.append(self.parse_sub())
+            self.expect("sym", "]")
+            return SeqExpr(items)
         if k == "sym" and v == "{":
             raise ValueError(
                 "expr: JSONiq object constructors route through "
