@@ -171,3 +171,23 @@ def test_pattern_text_match_modes(spark):
         {"kind": "text", "text": "hello", "capture": "v", "field": "matched-text"},
     ]))
     assert got == [("v", "Hello")]
+
+
+def test_inner_text_hides_script_style(spark):
+    nd = _nodes(
+        spark,
+        "<d><p>Hello   World</p><script>var x=1;</script><style>.a{}</style><p>Bye</p></d>",
+    )
+    from xidel_spark.extract.nodefn import inner_text
+
+    got = nd.select(inner_text(F.col("nodes")).alias("t")).first()["t"]
+    assert got == "Hello World Bye"
+
+
+def test_eval_constant_string(spark):
+    from xidel_spark.exprlang import compile_expr
+
+    got = spark.range(1).select(
+        compile_expr("eval('1 + 2 * 3') + 1").string().alias("v")
+    ).first()["v"]
+    assert got == "8"

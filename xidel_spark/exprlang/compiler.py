@@ -645,6 +645,14 @@ class Compiler:
     def _c_call(self, n: P.Call) -> TV:
         name = n.qname
         local = name.split(":", 1)[-1]
+        if local == "eval":
+            # eval("expr") (readme.txt:205): compile-time expansion for
+            # constant strings — the only form a static column plan can
+            # express (per-row dynamic strings would need a row-wise
+            # interpreter; the reference flags eval as trusted-input-only)
+            if len(n.args) == 1 and isinstance(n.args[0], P.Lit) and n.args[0].kind == "string":
+                return self.compile(P.parse_expr(n.args[0].value))
+            raise ValueError("expr: eval() supports constant strings only")
         args = [self.compile(a) for a in n.args]
         sf = getattr(self, "_f_" + local.replace("-", "_"), None)
         if sf is not None:

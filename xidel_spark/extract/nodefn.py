@@ -31,6 +31,32 @@ def deep_text(nodes: Column, ctx_id: Column | int = 0, sep: str = "") -> Column:
     return F.array_join(texts, sep)
 
 
+def inner_text(nodes: Column, ctx_id: Column | int = 0) -> Column:
+    """pxp:inner-text (changelog:11 'visible text from a HTML page, no
+    full CSS support'): descendant text with whitespace runs collapsed and
+    script/style subtrees dropped — the reference's no-stylesheet
+    approximation."""
+    cid = F.lit(ctx_id).cast("int") if isinstance(ctx_id, int) else ctx_id.cast("int")
+
+    # a text node is hidden when any ancestor is <script>/<style>; node ids
+    # are dense so the ancestor tags resolve through element_at
+    def is_visible_text(n):
+        anc_hidden = F.exists(
+            n["anc"],
+            lambda a: F.element_at(nodes, a.cast("int") + 1)["tag"].isin(
+                "script", "style"
+            ),
+        )
+        return (
+            (F.array_contains(n["anc"], cid) | (n["id"] == cid))
+            & (n["tag"] == "#text")
+            & ~anc_hidden
+        )
+
+    texts = F.transform(F.filter(nodes, is_visible_text), lambda n: n["text"])
+    return F.trim(F.regexp_replace(F.array_join(texts, " "), r"\s+", " "))
+
+
 def is_nth(n: Column, a: Column | int, b: Column | int) -> Column:
     """pxp:is-nth(n, a, b) — true iff n = a·i + b for some integer i ≥ 0
     (the CSS :nth-child(an+b) arithmetic, web/functions.xml:309)."""

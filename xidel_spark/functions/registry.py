@@ -118,7 +118,9 @@ def _builtin_registry() -> ModuleRegistry:
         "accumulate": jf.libjn_accumulate,
     })
     from ..crawl.requests import request_combine, request_decode
-    from ..extract.nodefn import deep_text, is_nth, replace_nodes, transform_nodes
+    from ..extract.nodefn import (
+        deep_text, inner_text, is_nth, replace_nodes, transform_nodes,
+    )
     from .xsd import CONSTRUCTORS
 
     r.load_module("xs", CONSTRUCTORS)  # the 49-constructor XSD lattice
@@ -126,7 +128,7 @@ def _builtin_registry() -> ModuleRegistry:
     r.load_module("pxp", {
         "canonicalize-url": canonicalize, "resolve-html": resolve_url,
         "parse-ietf-date": q.parse_ietf_date,
-        "deep-text": deep_text, "is-nth": is_nth,
+        "deep-text": deep_text, "inner-text": inner_text, "is-nth": is_nth,
         "transform": transform_nodes,
     })
     r.load_module("x", {
