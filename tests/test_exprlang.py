@@ -250,3 +250,29 @@ def test_xpath31_operators(spark):
     row = df.select(*cols).first()
     for i, (src, want) in enumerate(cases):
         assert row[f"c{i}"] == want, f"{src!r}: want {want!r} got {row[f'c{i}']!r}"
+
+
+def test_jsoniq_objects_and_lookups(spark):
+    """JSONiq object constructors (readme.txt:142-152), the three access
+    syntaxes ($m?k, $m('k'), $m.k), lookups on sequences, castable as."""
+    cases = [
+        ('{"a": 1, "b": 2}?a', "1"),
+        ('{"a": 1}("a")', "1"),
+        ('{"n": 5}.n', "5"),
+        ("let $m := {'x': 'v1', 'y': 'v2'} return $m?y", "v2"),
+        ("count(jn:keys({'a':1,'b':2}))", "2"),
+        ("(10,20,30)?2", "20"),
+        ("[5,6,7]?3", "7"),
+        ("map:get({'k':'v'}, 'k')", "v"),
+        ("map:contains({'k':'v'}, 'z')", "false"),
+        ("'42' castable as xs:integer", "true"),
+        ("'4x2' castable as xs:integer", "false"),
+        ("'2020-01-01' castable as xs:date", "true"),
+        ('{"a": 1+1}?a', "2"),
+        ("string({'a':'b'})", '{"a":"b"}'),
+    ]
+    df = spark.range(1)
+    cols = [compile_expr(s).string().alias(f"c{i}") for i, (s, _) in enumerate(cases)]
+    row = df.select(*cols).first()
+    for i, (src, want) in enumerate(cases):
+        assert row[f"c{i}"] == want, f"{src!r}: want {want!r} got {row[f'c{i}']!r}"

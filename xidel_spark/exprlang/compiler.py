@@ -160,9 +160,13 @@ class Compiler:
             )
         if tv.kind == "bool":
             return F.when(tv.col, F.lit("true")).otherwise(F.lit("false"))
+        if tv.kind == "map":
+            return F.to_json(tv.col)
         return tv.col.cast("string")
 
     def ebv(self, tv: TV) -> Column:
+        if tv.kind == "map":
+            return F.size(F.map_keys(tv.col)) >= 0  # a map item is truthy
         """effective boolean value (XPath 2.0 §2.4.3)."""
         if tv.is_seq:
             return F.size(tv.col) > 0
@@ -567,6 +571,42 @@ class Compiler:
         col = F.flatten(F.transform(seq.col, body))
         return TV(col, f"seq:{out_kind[0] if out_kind else 'string'}")
 
+    def _c_maplit(self, n: P.MapLit) -> TV:
+        """JSONiq object → map<string,string> (values stringified — the
+        weak-typing print forms; typed maps would need per-key schemas)."""
+        kv = []
+        for kast, vast in n.pairs:
+            kv.append(self.to_string(self.compile(kast)))
+            kv.append(self.to_string(self.compile(vast)))
+        return TV(F.create_map(*kv) if kv else F.create_map().cast("map<string,string>"), "map")
+
+    def _c_lookup(self, n: P.Lookup) -> TV:
+        base = self.compile(n.base)
+        key = n.key
+        if base.kind == "map":
+            if key == "*":  # libjn:values
+                return TV(F.map_values(base.col), "seq:string")
+            kcol = (
+                F.lit(key) if isinstance(key, str)
+                else self.to_string(self.compile(key)) if not isinstance(key, int)
+                else F.lit(str(key))
+            )
+            return TV(F.try_element_at(base.col, kcol), "string")
+        seq = base if base.is_seq else self.to_seq(base)
+        if key == "*":
+            return seq
+        if isinstance(key, int):
+            return TV(F.try_element_at(seq.col, F.lit(key)), seq.elem_kind)
+        idx = self.to_long(self.compile(key)) if not isinstance(key, str) else None
+        if idx is None:
+            raise ValueError(f"expr: string lookup {key!r} on a non-map value")
+        return TV(F.try_element_at(seq.col, idx.cast("int")), seq.elem_kind)
+
+    def _c_castableas(self, n: P.CastableAs) -> TV:
+        v = self._c_castas(P.CastAs(n.expr, n.type_qname))
+        col = v.col
+        return TV(col.isNotNull(), "bool")
+
     def _c_otherwise(self, n: P.Otherwise) -> TV:
         l, r = self.compile(n.left), self.compile(n.right)
         if not l.is_seq and not r.is_seq and l.kind == r.kind:
@@ -654,6 +694,24 @@ class Compiler:
                 return self.compile(P.parse_expr(n.args[0].value))
             raise ValueError("expr: eval() supports constant strings only")
         args = [self.compile(a) for a in n.args]
+        # map-typed arguments: route the jn:/map: accessors to the native
+        # Spark map functions (the registry forms work on JSON strings)
+        if args and args[0].kind == "map":
+            if local == "keys":
+                return TV(F.map_keys(args[0].col), "seq:string")
+            if local == "values":
+                return TV(F.map_values(args[0].col), "seq:string")
+            if local == "size":
+                return TV(F.size(F.map_keys(args[0].col)).cast("long"), "long")
+            if local == "contains" and len(args) == 2:
+                return TV(
+                    F.array_contains(F.map_keys(args[0].col), self.to_string(args[1])),
+                    "bool",
+                )
+            if local == "get" and len(args) == 2:
+                return TV(
+                    F.try_element_at(args[0].col, self.to_string(args[1])), "string"
+                )
         sf = getattr(self, "_f_" + local.replace("-", "_"), None)
         if sf is not None:
             return sf(args)

@@ -149,6 +149,25 @@ class Otherwise:
     right: object
 
 
+@dataclass
+class MapLit:
+    """JSONiq object {"k": v, ...} (readme.txt:142-152)."""
+    pairs: list  # [(key_ast, value_ast)]
+
+
+@dataclass
+class Lookup:
+    """$m?key / $m?1 / $m?* / $m("key") / $m.key — map/array lookup."""
+    base: object
+    key: object  # str | int | '*' | AST
+
+
+@dataclass
+class CastableAs:
+    expr: object
+    type_qname: str
+
+
 # ---------------------------------------------------------------------------
 # tokenizer — a superset of extract.xpath's token stream, same kinds, so
 # the path parser consumes slices of it directly
@@ -173,6 +192,7 @@ _TOKEN = re.compile(
       | (?P<op><=|>=|!=|=|<|>|\+)
       | (?P<minus>-)
       | (?P<bang>!)
+      | (?P<colon>:)
       | (?P<sym>[@\[\]().,*|{}?])
     )""",
     re.VERBOSE,
@@ -364,18 +384,18 @@ class ExprParser:
         return self._cast_suffix(self.union_expr())
 
     def _cast_suffix(self, a):
-        while self.at_word("cast"):
-            self.next()
+        while self.at_word("cast", "castable"):
+            word = self.next()[1]
             if not self.at_word("as"):
-                raise ValueError(f"expr: 'cast' without 'as' in {self.src!r}")
+                raise ValueError(f"expr: '{word}' without 'as' in {self.src!r}")
             self.next()
             tk, tv = self.next()
             if tk != "name":
                 raise ValueError(f"expr: bad cast target {tv!r} in {self.src!r}")
             if self.peek() == ("sym", "?"):
                 self.next()  # optional-occurrence marker: same compilation
-            a = CastAs(a, tv)
-        if self.at_word("instance", "castable", "treat"):
+            a = CastAs(a, tv) if word == "cast" else CastableAs(a, tv)
+        if self.at_word("instance", "treat"):
             raise ValueError(
                 f"expr: '{self.peek()[1]} of/as' is not supported in the string "
                 f"surface (route type checks through xs constructors)"
@@ -405,6 +425,37 @@ class ExprParser:
                 # $x/foo, (expr)//bar — apply a relative path to the value.
                 # The path parser consumes the leading slash itself.
                 a = PathApply(a, self._parse_path_here())
+            elif k == "sym" and v == "?":
+                # XPath 3.1 lookup: $m?key, $a?1, $m?* (changelog:5)
+                self.next()
+                nk, nv = self.peek()
+                if nk == "name":
+                    self.next()
+                    a = Lookup(a, nv)
+                elif nk == "num" and nv.isdigit():
+                    self.next()
+                    a = Lookup(a, int(nv))
+                elif (nk, nv) == ("sym", "*"):
+                    self.next()
+                    a = Lookup(a, "*")
+                else:
+                    raise ValueError(f"expr: bad lookup key after '?' in {self.src!r}")
+            elif (
+                k == "sym" and v == "." and self.peek(1)[0] == "name"
+                and isinstance(a, (VarRef, Lookup, MapLit, Call))
+            ):
+                # proprietary object.property access (readme.txt:147-149)
+                self.next()
+                a = Lookup(a, self.next()[1])
+            elif (
+                k == "sym" and v == "("
+                and isinstance(a, (VarRef, Lookup, MapLit))
+            ):
+                # dynamic call on a map value = property access ('{..}("name")')
+                self.next()
+                key = self.parse_sub()
+                self.expect("sym", ")")
+                a = Lookup(a, key)
             else:
                 return a
 
@@ -462,10 +513,31 @@ class ExprParser:
             self.expect("sym", "]")
             return SeqExpr(items)
         if k == "sym" and v == "{":
-            raise ValueError(
-                "expr: JSONiq object constructors route through "
-                "functions/jsonfn.py (map:*) — not the string surface yet"
-            )
+            # JSONiq object constructor (readme.txt:142-152): {"k": v, ...}
+            self.next()
+            pairs = []
+            if self.peek() != ("sym", "}"):
+                while True:
+                    key = self.parse_sub()
+                    # ':' is not a standalone token — a qname 'a:b' would
+                    # have lexed as one name; object keys are strings or
+                    # parenthesized exprs followed by ':' via axis-miss, so
+                    # accept the common string-key ':' as part of grammar
+                    kk, kv = self.peek()
+                    if kk == "axis":  # 'name::'-style mislex never valid here
+                        raise ValueError(f"expr: bad object key in {self.src!r}")
+                    if (kk, kv) != ("colon", ":"):
+                        raise ValueError(
+                            f"expr: expected ':' after object key in {self.src!r}"
+                        )
+                    self.next()
+                    pairs.append((key, self.parse_sub()))
+                    if self.peek() == ("sym", ","):
+                        self.next()
+                        continue
+                    break
+            self.expect("sym", "}")
+            return MapLit(pairs)
         if k == "name" and v == "if" and self.peek(1) == ("sym", "("):
             return self._if_expr()
         if k == "name" and v in ("let", "for") and self.peek(1)[0] == "var":
