@@ -161,3 +161,46 @@ def test_post_step_fetches_and_logs_request(runner):
     state = r.run(spec)
     assert state.get("title") == "AAA"
     assert r.pages_fetched == ["POST a.xml q=AAA"]
+
+
+def test_loop_page_batched_one_job(spark, runner):
+    """a single-<page> loop body fetches ALL pages in one isin-join
+    (VERDICT r2 nit) — results, fetch log and 404 behavior identical to
+    the sequential form."""
+    from pyspark.sql.classic.dataframe import DataFrame  # concrete class
+
+    import xidel_spark.extract.multipage as mp
+
+    r = runner()
+    spec = {
+        "actions": {
+            "main": [
+                {"page": "a.xml", "extract": [TITLE, LINKS]},
+                {"loop": {"over": "href", "var": "u",
+                          "do": [{"page": "{u}", "extract": [TITLE]}]}},
+            ]
+        }
+    }
+    assert mp.MultipageRunner._batchable_loop(spec["actions"]["main"][1]["loop"])
+    real_collect = DataFrame.collect
+    n = {"c": 0}
+
+    def spy(self):
+        n["c"] += 1
+        return real_collect(self)
+
+    try:
+        DataFrame.collect = spy
+        state = r.run(spec)
+    finally:
+        DataFrame.collect = real_collect
+    # 1 collect for the entry page + exactly 1 for the WHOLE loop
+    assert n["c"] == 2, n
+    assert state.get_all("title") == ["AAA", "BBB", "CCC"]
+    assert r.pages_fetched == ["a.xml", "b.xml", "c.xml"]
+
+    # self-feeding loops (url references a captured var) stay sequential
+    seq_loop = {"var": "u", "over": ["a"], "do": [
+        {"page": "{nxt}", "extract": [{"kind": "title", "capture": "nxt"}]},
+    ]}
+    assert not mp.MultipageRunner._batchable_loop(seq_loop)

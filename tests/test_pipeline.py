@@ -122,7 +122,9 @@ def test_recursing_stage_no_frontier_collect(spark, docs, monkeypatch):
     must hand its frontier to crawl_exact AS A DATAFRAME — any .collect()
     of url-carrying rows routes the whole frontier through the driver.
     Allowed collects (total_order partition stats) carry no url column."""
-    from pyspark.sql import DataFrame
+    from pyspark.sql.classic.dataframe import DataFrame  # the class that
+    # actually DEFINES collect in Spark 4 — patching the abstract base
+    # never intercepts
 
     real_collect = DataFrame.collect
     url_collects = []
