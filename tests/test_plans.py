@@ -127,3 +127,23 @@ def test_bloom_probe_plan_is_broadcast_only(spark):
     assert n_exchanges <= 0, plan[:2000]
     for marker in ("BatchEvalPython", "ArrowEvalPython", "pythonUDF"):
         assert marker not in plan
+
+
+def test_expression_queries_plan_shape(spark):
+    """round-3 gated queries: zero Python nodes, zero exchanges (pure
+    per-row Catalyst), and column-pruned parquet scans."""
+    from xidel_spark.queries_expr import (
+        q_request_combine, q_xpath_expressions, q_xs_constructors,
+    )
+
+    for q, cols in [
+        (q_xpath_expressions, "o_orderkey:bigint,o_totalprice:double,o_orderpriority:string"),
+        (q_xs_constructors, "o_orderkey:bigint,o_orderdate:timestamp"),
+        (q_request_combine, "o_orderkey:bigint,o_orderpriority:string"),
+    ]:
+        plan = q(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, q.__name__
+        assert plan.count("Exchange") == 0, q.__name__
+        schema = plan.split("ReadSchema")[1][:120]
+        for c in cols.split(",")[:2]:
+            assert c.split(":")[0] in schema, (q.__name__, c, schema)
