@@ -154,10 +154,28 @@ def test_routing_errors():
     for src in [
         "for tumbling window $x in //a start when true() return 1",
         "$var := 12",
-        "for $x in (1,2) order by $x return $x",
+        "for $x in (1,2) group by $x return $x",
     ]:
         with pytest.raises(ValueError):
             compile_expr(src)
+
+
+def test_flwor_order_by(spark):
+    """in-string 'order by' (single-for form): ascending/descending,
+    after where, over lets, and under xidel collation ('9xy'<'10XY'<'xy')."""
+    cases = [
+        ("for $x in (3,1,2) order by $x return $x", "1\n2\n3"),
+        ("for $x in (3,1,2) order by $x descending return $x", "3\n2\n1"),
+        ("for $x in (1,2,3,4) where $x mod 2 = 0 order by $x descending return $x", "4\n2"),
+        ("for $w in ('xy','9xy','10XY') order by $w return $w", "9xy\n10XY\nxy"),
+        ("for $x in (3,1,2) let $y := $x * 10 order by $y return $y", "10\n20\n30"),
+        ("for $x in (1,2) order by $x return $x * 100", "100\n200"),
+    ]
+    df = spark.range(1)
+    cols = [compile_expr(s).string().alias(f"c{i}") for i, (s, _) in enumerate(cases)]
+    row = df.select(*cols).first()
+    for i, (src, want) in enumerate(cases):
+        assert row[f"c{i}"] == want, f"{src!r}: want {want!r} got {row[f'c{i}']!r}"
 
 
 def test_collation_key_expr_matches_python(spark):

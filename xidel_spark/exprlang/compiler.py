@@ -514,6 +514,8 @@ class Compiler:
         return TV(go(0, self), "bool")
 
     def _c_flwor(self, n: P.Flwor) -> TV:
+        if n.order_by is not None:
+            return self._c_flwor_ordered(n)
         out_kind: list[str] = []
 
         def go(i: int, comp: "Compiler") -> Column:
@@ -545,6 +547,67 @@ class Compiler:
             return F.flatten(F.transform(seq.col, body))
 
         col = go(0, self)
+        return TV(col, f"seq:{out_kind[0] if out_kind else 'string'}")
+
+    def _c_flwor_ordered(self, n: P.Flwor) -> TV:
+        """FLWOR with 'order by': single-for form (for $v in seq [lets]
+        [where] order by key [descending] return body) — keys materialize
+        per tuple, sort_array orders the tuple stream (struct sort is
+        key-first), then the body maps over the sorted stream. Multi-for
+        cartesian ordering routes to the library FLWOR."""
+        fors = [c for c in n.clauses if c[0] == "for"]
+        if len(fors) != 1 or n.clauses[0][0] != "for":
+            raise ValueError(
+                "expr: 'order by' supports the single-for FLWOR form here; "
+                "multi-for ordering routes through queries_fn.py"
+            )
+        _, var, src = n.clauses[0]
+        lets = n.clauses[1:]
+        if any(c[0] != "let" for c in lets):
+            raise ValueError("expr: 'order by' needs lets-only after the for")
+        key_ast, desc = n.order_by
+        tv = self.compile(src)
+        seq = tv if tv.is_seq else self.to_seq(tv)
+        ek = seq.elem_kind
+
+        def env_for(comp: "Compiler", el):
+            bound = comp.bind(
+                **{var: TV(F.array(el), "nodes") if ek == "nodes" else TV(el, ek)}
+            )
+            for _, lv, lsrc in lets:
+                bound = bound.bind(**{lv: bound.compile(lsrc)})
+            return bound
+
+        def key_col(el):
+            env = env_for(self, el)
+            ktv = env.compile(key_ast)
+            if ktv.kind in NUM_KINDS:
+                return env.to_number(ktv)
+            # orderable key: the collation key string (xidel default order)
+            return collation_key_expr(env.to_string(ktv))
+
+        keyed = F.transform(
+            seq.col, lambda el: F.struct(key_col(el).alias("k"), el.alias("v"))
+        )
+        if n.where is not None:
+            keyed = F.filter(
+                keyed, lambda s: env_for(self, s["v"]).ebv(
+                    env_for(self, s["v"]).compile(n.where)
+                )
+            )
+        ordered = F.sort_array(keyed, asc=not desc)
+        out_kind: list[str] = []
+
+        def body(s):
+            env = env_for(self, s["v"])
+            btv = env.compile(n.ret)
+            bseq = btv if btv.is_seq else env.to_seq(btv)
+            if bseq.kind == "nodes":
+                bseq = env.atomize_seq(bseq)
+            out_kind.append(bseq.elem_kind)
+            return bseq.col
+
+        col = F.flatten(F.transform(ordered, body))
         return TV(col, f"seq:{out_kind[0] if out_kind else 'string'}")
 
     # -- XPath 3.1 / 4.0 operators ----------------------------------------------

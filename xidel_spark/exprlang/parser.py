@@ -84,6 +84,7 @@ class Flwor:
     clauses: list  # [('let'|'for', varname, expr), ...]
     where: object | None
     ret: object
+    order_by: tuple | None = None  # (key_expr, descending: bool)
 
 
 @dataclass
@@ -632,7 +633,7 @@ class ExprParser:
                     self.next()
                     continue
                 break
-        if self.at_word("order", "group", "count", "window"):
+        if self.at_word("group", "count", "window"):
             raise ValueError(
                 f"expr: FLWOR '{self.peek()[1]} by' routes through the "
                 f"library operators (queries_fn.py flwor_*)"
@@ -641,10 +642,29 @@ class ExprParser:
         if self.at_word("where"):
             self.next()
             where = self.exprsingle()
+        order_by = None
+        if self.at_word("order"):
+            self.next()
+            if not self.at_word("by"):
+                raise ValueError(f"expr: 'order' without 'by' in {self.src!r}")
+            self.next()
+            key = self.exprsingle()
+            desc = False
+            if self.at_word("descending"):
+                desc = True
+                self.next()
+            elif self.at_word("ascending"):
+                self.next()
+            if self.peek() == ("sym", ","):
+                raise ValueError(
+                    "expr: multi-key 'order by' routes through the library "
+                    "FLWOR (queries_fn.py)"
+                )
+            order_by = (key, desc)
         if not self.at_word("return"):
             raise ValueError(f"expr: FLWOR without 'return' in {self.src!r}")
         self.next()
-        return Flwor(clauses, where, self.exprsingle())
+        return Flwor(clauses, where, self.exprsingle(), order_by)
 
     def _quant(self, mode: str):
         self.next()  # some/every
