@@ -44,8 +44,23 @@ SELECT d AS doc_id,
 FROM ids WHERE d % 3 IN (0, 1)
 """
 
+# node functions over '<p>A{d}  B</p><script>junk{d}</script><p>C{d}</p>':
+# deep-text concatenates ALL descendant text (script included), inner-text
+# hides script/style and collapses whitespace, is-nth(d+1,3,1) ⇔ d%3=0,
+# //p[position()=last()] string-value = the second paragraph
+NODE_FUNCTIONS = """
+WITH ids AS (SELECT doc_id::BIGINT AS d FROM documents)
+SELECT d AS doc_id,
+       printf('A%d  Bjunk%dC%d', d, d, d) AS deep,
+       printf('A%d B C%d', d, d)          AS visible,
+       (d % 3 = 0)                        AS nth,
+       printf('C%d', d)                   AS last_p
+FROM ids
+"""
+
 SEL_ORACLES = {
     "xpath_axes": XPATH_AXES,
     "css_select": CSS_SELECT,
     "parse_html_extract": PARSE_HTML_EXTRACT,
+    "node_functions": NODE_FUNCTIONS,
 }

@@ -57,8 +57,36 @@ def q_parse_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_node_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node-function batch over parsed HTML: deep-text (descendant text),
+    inner-text (script/style-hidden, whitespace-collapsed), is-nth, and an
+    expression predicate through the round-3 unified compiler — the §2.3
+    HTML/node row's driver gate."""
+    from .extract.nodefn import deep_text, inner_text, is_nth
+    from .extract.nodes import parse_html_nodes
+    from .extract.xpath import compile_xpath
+
+    base = corpus.base_docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("d"))
+    d = F.col("d")
+    html = F.format_string(
+        "<html><body><p>A%d  B</p><script>junk%d</script><p>C%d</p></body></html>",
+        d, d, d,
+    )
+    parsed = base.select(d.alias("doc_id"), parse_html_nodes(html).alias("nodes"))
+    sel = compile_xpath("//p[position() = last()]")
+    nodes = F.col("nodes")
+    return parsed.select(
+        "doc_id",
+        deep_text(nodes).alias("deep"),
+        inner_text(nodes).alias("visible"),
+        is_nth(F.col("doc_id") + 1, 3, 1).alias("nth"),
+        F.element_at(sel.values(nodes), 1).alias("last_p"),
+    )
+
+
 SEL_QUERIES = {
     "xpath_axes": q_xpath_axes,
     "css_select": q_css_select,
     "parse_html_extract": q_parse_html,
+    "node_functions": q_node_functions,
 }
