@@ -70,7 +70,9 @@ def test_guess_extraction_kind():
     assert guess_kind("<html><title>{t:=.}</title></html>") == "pattern"
     assert guess_kind("//a/@href") == "xpath"
     assert guess_kind("$x + 1") == "xpath"
-    assert guess_kind("a") == "css"
+    # bare names are XPATH per the reference's own type-selection tests
+    # (tests.sh:434 xpath5 '-e a'); css-only markers make it CSS
+    assert guess_kind("a") == "xpath"
     assert guess_kind("a[href]") == "css"
     assert guess_kind("div > span.cls") == "css"
     assert guess_kind("count(//a)") == "xpath"

@@ -741,7 +741,9 @@ def parse_expr(src: str):
 # ---------------------------------------------------------------------------
 
 # one CSS simple selector: name, .class, #id, name.class, a:hover, [attr]…
-_CSS_SIMPLE = r"(?:[a-zA-Z][\w-]*|\*)?(?:[.#][\w-]+|:{1,2}[\w-]+(?:\([^()]*\))?|\[[^\]]+\])+|[a-zA-Z][\w-]*|\*"
+# NB: the alternation MUST be wrapped before interpolation — top-level '|'
+# would otherwise split the composed pattern
+_CSS_SIMPLE = r"(?:(?:[a-zA-Z][\w-]*|\*)?(?:[.#][\w-]+|:{1,2}[\w-]+(?:\([^()]*\))?|\[[^\]]+\])+|[a-zA-Z][\w-]*|\*)"
 _CSS_RE = re.compile(
     rf"\s*{_CSS_SIMPLE}(?:\s*[>+~,]\s*{_CSS_SIMPLE}|\s+{_CSS_SIMPLE})*\s*"
 )
