@@ -234,7 +234,9 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .util import qround
 
     emb = corpus.planted_embeddings(spark, sf_dir).localCheckpoint(eager=False)
-    sigs = srp_signature(emb, bits=8, tables=8)
+    # materialize the signature table: the candidate self-join would
+    # otherwise recompute the 8-table SRP projection once per side
+    sigs = srp_signature(emb, bits=8, tables=8).localCheckpoint(eager=False)
     a = sigs.select(F.col("vec_id").alias("id_a"), "table", "bucket")
     b = sigs.select(F.col("vec_id").alias("id_b"), "table", "bucket")
     cand = (
