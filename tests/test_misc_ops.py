@@ -123,3 +123,23 @@ def test_media_real_decoder_raises_without_libs():
 
     with _pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG", decoder="real")
+
+
+def test_cli_surface():
+    """the xidel-style CLI: literal markup + -e expressions with kind
+    auto-detection, separators, and stdin — subprocess black-box."""
+    import subprocess
+    import sys
+
+    def run(*args, stdin=None):
+        return subprocess.run(
+            [sys.executable, "tools/xidel_spark_cli.py", *args],
+            capture_output=True, text=True, cwd="/root/repo", input=stdin,
+        ).stdout
+
+    assert run("<a>3</a>", "-e", " 3 + . ") == "6\n"
+    assert run(
+        '<html><body><a href="x">L</a><a href="y">M</a></body></html>',
+        "-e", "//a/@href", "--output-separator", ",",
+    ) == "x,y\n"
+    assert run("-", "-e", ".", stdin="<a>hi</a>") == "hi\n"
