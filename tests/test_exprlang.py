@@ -294,3 +294,31 @@ def test_jsoniq_objects_and_lookups(spark):
     row = df.select(*cols).first()
     for i, (src, want) in enumerate(cases):
         assert row[f"c{i}"] == want, f"{src!r}: want {want!r} got {row[f'c{i}']!r}"
+
+
+def test_empty_sequence_edges(spark):
+    """empty-sequence semantics through every operator class, plus the
+    reserved-word lexer fix ('in ()' is keyword + empty parens, not a
+    function token)."""
+    cases = [
+        ("() = 1", "false"),
+        ("count(())", "0"),
+        ("string(())", ""),
+        ("sum(())", "0"),
+        ("('a','b')[0]", ""),
+        ("(1,2)[3]", ""),
+        ("not(())", "true"),
+        ("0 = '0'", "true"),
+        ("if (()) then 1 else 2", "2"),
+        ("for $x in () return $x", ""),
+        ("some $x in () satisfies true()", "false"),
+        ("every $x in () satisfies false()", "true"),
+        ("for $x in (1,2) return ()", ""),
+        ("concat('a', (), 'b')", "ab"),
+        ("boolean('false')", "true"),  # EBV of a non-empty string, not a cast
+    ]
+    df = spark.range(1)
+    cols = [compile_expr(s).string().alias(f"c{i}") for i, (s, _) in enumerate(cases)]
+    row = df.select(*cols).first()
+    for i, (src, want) in enumerate(cases):
+        assert row[f"c{i}"] == want, f"{src!r}: want {want!r} got {row[f'c{i}']!r}"

@@ -203,6 +203,15 @@ _TOKEN = re.compile(
 _CMP_WORDS = {"eq", "ne", "lt", "le", "gt", "ge"}
 _MUL_WORDS = {"div", "idiv", "mod"}
 
+# reserved words that can never be function CALLS — 'in ()' must lex as
+# the keyword followed by an empty sequence, not a func token 'in()'
+_RESERVED_NONFUNC = {
+    "in", "return", "then", "else", "satisfies", "where", "to", "and", "or",
+    "div", "idiv", "mod", "cast", "castable", "as", "otherwise", "let",
+    "for", "some", "every", "order", "by", "descending", "ascending",
+    "group", "instance", "treat",
+} | _CMP_WORDS
+
 
 def tokenize(s: str) -> list[tuple[str, str]]:
     out, i = [], 0
@@ -217,6 +226,13 @@ def tokenize(s: str) -> list[tuple[str, str]]:
         val = m.group(kind)
         if kind == "func":
             val = re.sub(r"\s+", "", val)
+            name = val[:-2]
+            if name in _RESERVED_NONFUNC:
+                # 'in ()' / 'return ()' — keyword + empty parens, not a call
+                out.append(("name", name))
+                out.append(("sym", "("))
+                out.append(("sym", ")"))
+                continue
         if kind == "minus":
             kind, val = "sym", "-"
         if kind == "qname":
