@@ -137,3 +137,43 @@ def test_stateful_rate_limiter_spans_microbatches(spark, tmp_path):
     # the cross-batch invariant: u3 continues h1's clock, w1 starts fresh
     assert got["u3"] == ("h1", 500)
     assert got["w1"] == ("h3", 0)
+
+
+def test_streaming_expression_extraction(spark, tmp_path):
+    """the expression compiler composes with Structured Streaming: a
+    compiled -e expression evaluates per micro-batch over parsed node
+    arrays (pure Catalyst columns stream without modification)."""
+    import json as _json
+
+    from xidel_spark.exprlang import compile_expr
+    from xidel_spark.extract.nodes import parse_auto_nodes
+
+    src_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    ckpt = tmp_path / "ck"
+    src_dir.mkdir()
+    rows = [{"doc_id": f"d{i}", "markup": f"<a>{i}</a>"} for i in range(5)]
+    (src_dir / "batch0.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    stream = (
+        spark.readStream.schema("doc_id string, markup string")
+        .json(str(src_dir))
+        .select(
+            "doc_id",
+            parse_auto_nodes(F.col("markup")).alias("nodes"),
+        )
+        .select(
+            "doc_id",
+            compile_expr(" . + 1 ").string(nodes=F.col("nodes")).alias("v"),
+        )
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["v"] for r in spark.read.parquet(str(out_dir)).collect()}
+    assert got == {f"d{i}": str(i + 1) for i in range(5)}
