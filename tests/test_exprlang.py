@@ -153,11 +153,68 @@ def test_routing_errors():
     instead of silently mis-parsing."""
     for src in [
         "for tumbling window $x in //a start when true() return 1",
-        "$var := 12",
         "for $x in (1,2) group by $x return $x",
     ]:
         with pytest.raises(ValueError):
             compile_expr(src)
+
+
+def test_variable_assignment_extension(spark):
+    """xidel's `$v := e` / `v := e` (readme.txt:131-135): evaluates to the
+    value, later sequence items see the binding, assignments surface for
+    the change log; top-level comma lists are sequences; the xquery
+    version prolog strips."""
+    cases = [
+        ("$a := 5", "5"),
+        ("($a := 2, $b := $a * 3, $b + 1)", "2\n6\n7"),
+        ("v := 18", "18"),
+        ("1, 2, 5", "1\n2\n5"),
+        ('xquery version "1.0"; 1+1', "2"),
+        ("2, xs:int(17), xs:untypedAtomic('?'), 3.7", "2\n17\n?\n3.7"),
+    ]
+    df = spark.range(1)
+    cols = [compile_expr(s).string().alias(f"c{i}") for i, (s, _) in enumerate(cases)]
+    row = df.select(*cols).first()
+    for i, (src, want) in enumerate(cases):
+        assert row[f"c{i}"] == want, f"{src!r}: want {want!r} got {row[f'c{i}']!r}"
+    _, log = compile_expr("($t := 'x', $n := 5)").with_assignments()
+    names = [n for n, _ in log]
+    assert names == ["t", "n"]
+
+
+def test_reference_expression_acceptance():
+    """coverage meter: the parser must accept >=70% of the reference's own
+    -e/-extract/--xpath/--xquery test strings (tests/tests.sh), with
+    pattern templates routed to the pattern engine."""
+    import shlex
+
+    from xidel_spark.exprlang import detect_kind, parse_expr
+
+    src = open("/root/reference/tests/tests.sh").read()
+    exprs = []
+    for line in src.splitlines():
+        if not line.strip().startswith("tests/test.sh"):
+            continue
+        try:
+            toks = shlex.split(line.split("#")[0])
+        except ValueError:
+            continue
+        for i, t in enumerate(toks):
+            if t in ("-e", "--extract", "--xpath", "--xquery") and i + 1 < len(toks):
+                exprs.append(toks[i + 1])
+    assert len(exprs) > 600
+    ok = patt = 0
+    for e in exprs:
+        if detect_kind(e) == "pattern":
+            patt += 1
+            continue
+        try:
+            parse_expr(e)
+            ok += 1
+        except Exception:
+            pass
+    handled = ok + patt
+    assert handled / len(exprs) >= 0.70, f"{handled}/{len(exprs)}"
 
 
 def test_flwor_order_by(spark):

@@ -91,9 +91,13 @@ class Compiler:
         self.ctx = ctx
         self.pos = pos
         self.size = size
+        # xidel `var := value` extension: assignments recorded here feed
+        # the variable change log (extract/changelog.py)
+        self.assignments: list[tuple[str, TV]] = []
 
     def bind(self, **kw) -> "Compiler":
         c = Compiler(self.env, self.nodes, self.ctx, self.pos, self.size)
+        c.assignments = self.assignments  # shared: nested assigns surface
         for k, v in kw.items():
             if k == "__ctx":
                 c.ctx = v
@@ -207,6 +211,16 @@ class Compiler:
         if n.kind == "null":
             return TV(F.lit(None).cast("string"), "null")
         return TV(F.lit(n.value), n.kind)
+
+    def _c_assign(self, n: P.Assign) -> TV:
+        """`$v := e` (readme.txt:131-135): evaluates to the value, binds
+        the variable for LATER siblings in the same sequence (the compile
+        walks sequences left-to-right over this mutable env), and records
+        the assignment for the change-log surface."""
+        tv = self.compile(n.value)
+        self.env[n.name] = tv
+        self.assignments.append((n.name, tv))
+        return tv
 
     def _c_varref(self, n: P.VarRef) -> TV:
         if n.name not in self.env:
@@ -932,6 +946,17 @@ class CompiledExpr:
     def string(self, env=None, nodes=None, ctx=None) -> Column:
         """items joined with newline (stdout shape)."""
         return F.array_join(self.values(env, nodes, ctx), "\n")
+
+    def with_assignments(
+        self, env=None, nodes=None, ctx=None
+    ) -> tuple[Column, list[tuple[str, Column]]]:
+        """(result column, [(var, value column), ...]) — the `v := e`
+        assignments in evaluation order, printed-form columns, ready to
+        feed the variable change log (extract/changelog.py)."""
+        c = Compiler(env=env, nodes=nodes, ctx=ctx)
+        tv = c.compile(self.ast)
+        log = [(name, c.to_string(v)) for name, v in c.assignments]
+        return tv.col, log
 
 
 def compile_expr(source: str) -> CompiledExpr:

@@ -44,6 +44,15 @@ class VarRef:
 
 
 @dataclass
+class Assign:
+    """xidel's `$var := value` / `var := value` extension (readme.txt:
+    131-135): records the variable AND evaluates to the assigned value;
+    later items in the same sequence see the binding."""
+    name: str
+    value: object
+
+
+@dataclass
 class ContextItem:
     pass
 
@@ -248,10 +257,18 @@ def tokenize(s: str) -> list[tuple[str, str]]:
 _PATH_START_SYMS = {"*", "@", "."}
 
 
+_PROLOG = re.compile(
+    r"^\s*xquery\s+version\s+(?:\"[^\"]*\"|'[^']*')"
+    r"(?:\s+encoding\s+(?:\"[^\"]*\"|'[^']*'))?\s*;\s*"
+)
+
+
 class ExprParser:
     def __init__(self, src: str):
-        self.src = src
-        self.toks = tokenize(src)
+        # version declarations toggle extension sets in the reference
+        # (readme.txt:129-131); the compiled surface is the same either way
+        self.src = _PROLOG.sub("", src)
+        self.toks = tokenize(self.src)
         self.i = 0
 
     # -- token helpers ------------------------------------------------------
@@ -278,7 +295,13 @@ class ExprParser:
 
     # -- entry --------------------------------------------------------------
     def parse(self):
-        e = self.parse_sub()
+        # Expr := ExprSingle (',' ExprSingle)* — a top-level comma list is
+        # a sequence (the common multi-value -e shape)
+        items = [self.parse_sub()]
+        while self.peek() == ("sym", ","):
+            self.next()
+            items.append(self.parse_sub())
+        e = items[0] if len(items) == 1 else SeqExpr(items)
         if self.peek()[0] is not None:
             raise ValueError(
                 f"expr: trailing tokens in {self.src!r}: {self.toks[self.i:]!r}"
@@ -497,10 +520,8 @@ class ExprParser:
             self.next()
             nk, nv = self.peek()
             if nk == "dcolonassign":
-                raise ValueError(
-                    "expr: global variable assignment '$var := e' is the "
-                    "change-log surface — route through extract/changelog.py"
-                )
+                self.next()
+                return Assign(v[1:], self.exprsingle())
             return VarRef(v[1:])
         if k == "sym" and v == ".":
             self.next()
@@ -586,6 +607,11 @@ class ExprParser:
             if fname == "false":
                 return Lit(False, "bool")
             return Call(fname, [])
+        if k == "name" and self.peek(1)[0] == "dcolonassign":
+            # bare-name assignment 'v := 18' (tests.sh:263 separator tests)
+            self.next()
+            self.next()
+            return Assign(v, self.exprsingle())
         if k == "name" and self.peek(1) == ("sym", "(") and v != "css":
             self.next()
             self.next()
