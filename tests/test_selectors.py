@@ -245,3 +245,53 @@ def test_css_function_inside_xpath_path(spark):
     html = '<div><a class="cls" href="u1">one</a><a href="u2">two</a></div>'
     assert _eval_html(spark, html, 'css("a.cls")/@href') == ["u1"]
     assert _eval_html(spark, html, '//div/css("a")/@href') == ["u1", "u2"]
+
+
+def test_serializer_expr_matches_udf(spark):
+    """the pure-Catalyst subtree serializer (outer_xml_expr/inner_xml_expr)
+    is byte-identical to the Python serializer on escaping, self-closing
+    empties, attributes and nesting — it's what the expression language's
+    outer-xml()/inner-xml() compile to."""
+    from xidel_spark.extract.nodes import (
+        inner_xml_expr, inner_xml_udf, outer_xml_expr, outer_xml_udf,
+        parse_auto_nodes,
+    )
+
+    markups = [
+        "<a x='1'>3<b>c</b></a>",
+        "<d><p class='x&y'>t&lt;1</p><br/><p>q\"z\"</p></d>",
+        "<html><head></head><body><a href='u'>L</a>tail</body></html>",
+        "<r><e/><e>x</e><e a='1' b='2'/></r>",
+    ]
+    nd = (
+        spark.createDataFrame([(m,) for m in markups], "m string")
+        .select("m", parse_auto_nodes(F.col("m")).alias("nodes"))
+        .localCheckpoint()
+    )
+    rows = nd.select(
+        "m",
+        outer_xml_expr(F.col("nodes")).alias("oe"),
+        outer_xml_udf(F.col("nodes"), F.lit(0)).alias("ou"),
+        inner_xml_expr(F.col("nodes")).alias("ie"),
+        inner_xml_udf(F.col("nodes"), F.lit(0)).alias("iu"),
+    ).collect()
+    for r in rows:
+        assert r["oe"] == r["ou"], r["m"]
+        assert r["ie"] == r["iu"], r["m"]
+
+
+def test_exprlang_serialization_functions(spark):
+    from xidel_spark.exprlang import compile_expr
+    from xidel_spark.extract.nodes import parse_auto_nodes
+
+    nd = (
+        spark.createDataFrame([("<a x='1'>3<b>c</b></a>",)], "m string")
+        .select(parse_auto_nodes(F.col("m")).alias("nodes"))
+        .localCheckpoint()
+    )
+    got = nd.select(
+        compile_expr("outer-xml(//b)").string(nodes=F.col("nodes")).alias("o"),
+        compile_expr("inner-xml(//b)").string(nodes=F.col("nodes")).alias("i"),
+        compile_expr("/").string(nodes=F.col("nodes")).alias("root"),
+    ).first()
+    assert got["o"] == "<b>c</b>" and got["i"] == "c" and got["root"] == "3c"

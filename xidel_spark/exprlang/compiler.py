@@ -897,6 +897,25 @@ class Compiler:
             "any",
         )
 
+    def _f_outer_xml(self, args: list[TV]) -> TV:
+        return self._serialize_xml(args, inner=False)
+
+    def _f_inner_xml(self, args: list[TV]) -> TV:
+        return self._serialize_xml(args, inner=True)
+
+    def _serialize_xml(self, args: list[TV], inner: bool) -> TV:
+        """outer-xml(/) / inner-xml(node) — the pure-Catalyst serializer
+        (extract/nodes._serialize_expr), so it composes with any
+        HOF-derived node set."""
+        from ..extract.nodes import inner_xml_expr, outer_xml_expr
+
+        tv = args[0] if args else self.ctx
+        if tv is None or tv.kind != "nodes":
+            raise ValueError("expr: outer-xml/inner-xml need a node argument")
+        first = F.coalesce(F.try_element_at(tv.col, F.lit(1)), F.lit(0))
+        fn = inner_xml_expr if inner else outer_xml_expr
+        return TV(fn(self.nodes, first), "string")
+
     def _f_last(self, args: list[TV]) -> TV:
         if self.size is None:
             raise ValueError("expr: last() outside a predicate")

@@ -25,7 +25,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from ..extract.xpath import Path, _Parser
+from ..extract.xpath import Path, Step, _Parser
 
 # ---------------------------------------------------------------------------
 # AST
@@ -192,7 +192,7 @@ _TOKEN = re.compile(
       | (?P<func>[a-zA-Z][\w-]*(?::[a-zA-Z][\w.-]*)?\s*\(\s*\))
       | (?P<qname>[a-zA-Z_][\w-]*:[a-zA-Z_][\w.-]*)
       | (?P<name>[a-zA-Z_][\w-]*)
-      | (?P<var>\$[a-zA-Z_][\w-]*)
+      | (?P<var>\$[a-zA-Z_][\w-]*(?::[a-zA-Z_][\w-]*)?)
       | (?P<num>\d+\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+|\.\d+|\d+)
       | (?P<str>'(?:[^']|'')*'|"(?:[^"]|"")*")
       | (?P<dotdot>\.\.)
@@ -623,6 +623,14 @@ class ExprParser:
                     args.append(self.parse_sub())
             self.expect("sym", ")")
             return Call(v, args)
+        if k == "slash" and self.peek(1)[0] in (
+            None, "op", "dbar", "bang", "arrow",
+        ) or (
+            k == "slash" and self.peek(1) == ("sym", ")")
+        ) or (k == "slash" and self.peek(1) == ("sym", ",")):
+            # bare '/' — the document root itself (outer-xml(/), '/')
+            self.next()
+            return PathRoot(Path(steps=[Step("self", "node()", [])]))
         if k in ("slash", "dslash", "axis", "dotdot", "name") or (
             k == "sym" and v in _PATH_START_SYMS
         ):

@@ -388,7 +388,98 @@ def _rows_to_dicts(rows) -> list[dict] | None:
     ]
 
 
+def _esc_text_expr(c: Column) -> Column:
+    c = F.replace(c, F.lit("&"), F.lit("&amp;"))
+    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+    return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+
+def _esc_attr_expr(c: Column) -> Column:
+    return F.replace(_esc_text_expr(c), F.lit('"'), F.lit("&quot;"))
+
+
+def _serialize_expr(nodes: Column, rid: Column, include_root: bool) -> Column:
+    """Pure-Catalyst subtree serializer — byte-identical to outer_xml_py
+    (self-closing empties, attr/text escaping, #doc emits children only).
+
+    One F.aggregate pass over the pre-order subtree carrying
+    (out, open-element stack): entering a node closes every stacked
+    element that is not among its ancestors (ancestors always form a
+    stack prefix in a tree), then emits text / <tag attrs> / <tag attrs/>.
+    No Python — unlike the Arrow UDF this composes inside the expression
+    language (UDFs cannot take HOF-derived arguments)."""
+    in_subtree = lambda n: F.array_contains(n["anc"], rid) | (  # noqa: E731
+        F.lit(include_root) & (n["id"] == rid)
+    )
+    sub = F.filter(nodes, lambda n: in_subtree(n) & (n["tag"] != "#skip"))
+    init = F.struct(
+        F.lit("").alias("out"),
+        F.array().cast("array<struct<id:int,tag:string>>").alias("stack"),
+    )
+
+    def closings(stack_part: Column) -> Column:
+        return F.array_join(
+            F.transform(
+                F.reverse(stack_part),
+                lambda s: F.concat(F.lit("</"), s["tag"], F.lit(">")),
+            ),
+            "",
+        )
+
+    def step(acc, n):
+        kept = F.filter(acc["stack"], lambda s: F.array_contains(n["anc"], s["id"]))
+        popped = F.filter(
+            acc["stack"], lambda s: ~F.array_contains(n["anc"], s["id"])
+        )
+        attrs = F.array_join(
+            F.transform(
+                F.map_entries(n["attrs"]),
+                lambda e: F.concat(
+                    F.lit(" "), e["key"], F.lit('="'),
+                    _esc_attr_expr(F.coalesce(e["value"], F.lit(""))), F.lit('"'),
+                ),
+            ),
+            "",
+        )
+        has_kids = F.exists(nodes, lambda m: m["parent"] == n["id"])
+        emit = (
+            F.when(n["tag"] == "#text", _esc_text_expr(F.coalesce(n["text"], F.lit(""))))
+            .when(n["tag"] == "#doc", F.lit(""))
+            .when(has_kids, F.concat(F.lit("<"), n["tag"], attrs, F.lit(">")))
+            .otherwise(F.concat(F.lit("<"), n["tag"], attrs, F.lit("/>")))
+        )
+        pushes = F.when(
+            (n["tag"] == "#text") | (n["tag"] == "#doc") | ~has_kids, kept
+        ).otherwise(
+            F.concat(kept, F.array(F.struct(n["id"].alias("id"), n["tag"].alias("tag"))))
+        )
+        return F.struct(
+            F.concat(acc["out"], closings(popped), emit).alias("out"),
+            pushes.alias("stack"),
+        )
+
+    out = F.aggregate(
+        sub, init, step, lambda acc: F.concat(acc["out"], closings(acc["stack"]))
+    )
+    return F.when(nodes.isNull(), F.lit(None).cast("string")).otherwise(out)
+
+
+def outer_xml_expr(nodes: Column, root_id: Column | int = 0) -> Column:
+    rid = (F.lit(root_id) if isinstance(root_id, int) else root_id).cast("int")
+    return _serialize_expr(nodes, rid, include_root=True)
+
+
+def inner_xml_expr(nodes: Column, root_id: Column | int = 0) -> Column:
+    rid = (F.lit(root_id) if isinstance(root_id, int) else root_id).cast("int")
+    return _serialize_expr(nodes, rid, include_root=False)
+
+
 def outer_xml(nodes: Column, root_id: Column | int = 0) -> Column:
+    """outer-xml — Arrow UDF form: composes with an INLINE parse_* UDF
+    column (the expr serializer cannot: Catalyst rejects Python UDFs under
+    HOF lambdas in either nesting direction). Use outer_xml_expr on
+    materialized node columns — pinned byte-equal, and the only form that
+    composes inside the expression language."""
     rid = F.lit(root_id) if isinstance(root_id, int) else root_id
     return outer_xml_udf(nodes, rid)
 
