@@ -3,9 +3,11 @@
 entry()      — flagship: exact xidel DFS crawl (dedup ON) over the sf0.001
                interleaved-spans corpus, returning (url, rank, depth, ord,
                title) in crawl order.
-queries()    — named operators from SURVEY.md §2 (crawl core + extraction +
+queries()    — 51 named operators from SURVEY.md §2 (crawl core +
+               extraction + expression language + xs constructors +
                scale ops), each (spark, sf_dir) -> DataFrame.
-oracle_sql() — matching DuckDB SQL per query (xidel_spark/oracle.py).
+oracle_sql() — matching DuckDB SQL per query (xidel_spark/oracle*.py);
+               every query is fully oracled (rows + schema + value hash).
 """
 
 from __future__ import annotations

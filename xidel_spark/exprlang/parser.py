@@ -482,7 +482,7 @@ class ExprParser:
                     raise ValueError(f"expr: bad lookup key after '?' in {self.src!r}")
             elif (
                 k == "sym" and v == "." and self.peek(1)[0] == "name"
-                and isinstance(a, (VarRef, Lookup, MapLit, Call))
+                and isinstance(a, (VarRef, Lookup, MapLit, Call, SeqExpr, ContextItem))
             ):
                 # proprietary object.property access (readme.txt:147-149)
                 self.next()
@@ -491,11 +491,17 @@ class ExprParser:
                 k == "sym" and v == "("
                 and isinstance(a, (VarRef, Lookup, MapLit))
             ):
-                # dynamic call on a map value = property access ('{..}("name")')
+                # dynamic call on a map value = property access ('{..}("name")');
+                # zero-arg '$obj()' returns the property-name sequence
+                # (readme.txt:150: 'jn:keys or $object()')
                 self.next()
-                key = self.parse_sub()
-                self.expect("sym", ")")
-                a = Lookup(a, key)
+                if self.peek() == ("sym", ")"):
+                    self.next()
+                    a = Call("jn:keys", [a])
+                else:
+                    key = self.parse_sub()
+                    self.expect("sym", ")")
+                    a = Lookup(a, key)
             else:
                 return a
 
