@@ -267,6 +267,9 @@ class FrontierCrawler:
                     watermark=watermark,
                 )
             if self.partition_by_host:
+                # (measured round 3: sizing the partition count to the wave
+                # changed nothing — the ~2 s/wave floor is localCheckpoint
+                # materialization + job scheduling, not task count)
                 next_frontier = next_frontier.repartition(F.col("host"))
             # slim dedicated checkpoint: what stays alive across waves is
             # only (url, rank, depth, host) per increment — the seen union
