@@ -379,3 +379,27 @@ def test_empty_sequence_edges(spark):
     row = df.select(*cols).first()
     for i, (src, want) in enumerate(cases):
         assert row[f"c{i}"] == want, f"{src!r}: want {want!r} got {row[f'c{i}']!r}"
+
+
+def test_computed_constructors(spark):
+    """computed element/attribute/text constructors serialize — byte-exact
+    vs the reference golden linebreaksXMLElementNodes-NoDecl-NoIndent
+    (tests.sh:273: element nodes {(1 to 3) ! element node {...}})."""
+    golden = open(
+        "/root/reference/tests/output/linebreaksXMLElementNodes-NoDecl-NoIndent"
+    ).read().rstrip("\n")
+    cases = [
+        ('element nodes {(1 to 3) ! element node {attribute id {.},"value"||.}}', golden),
+        ("element x {}", "<x/>"),
+        ("element x {'a', 'b'}", "<x>a b</x>"),
+        ("element p {attribute cls {'c&d'}, 'x<y'}", '<p cls="c&amp;d">x&lt;y</p>'),
+        ("element o {element i {1}, element i {2}}", "<o><i>1</i><i>2</i></o>"),
+        ("text {'a<b'}", "a&lt;b"),
+        ("attribute q {42}", "42"),
+        ("element w {1 + 1}", "<w>2</w>"),
+    ]
+    df = spark.range(1)
+    cols = [compile_expr(s).string().alias(f"c{i}") for i, (s, _) in enumerate(cases)]
+    row = df.select(*cols).first()
+    for i, (src, want) in enumerate(cases):
+        assert row[f"c{i}"] == want, f"{src!r}: want {want!r} got {row[f'c{i}']!r}"

@@ -42,6 +42,7 @@ _SPARK_TYPE = {
     "nodes": "int",
     "null": "string",
     "any": "string",
+    "xmlstr": "string",  # serialized constructed nodes
 }
 
 
@@ -623,6 +624,64 @@ class Compiler:
 
         col = F.flatten(F.transform(ordered, body))
         return TV(col, f"seq:{out_kind[0] if out_kind else 'string'}")
+
+    # -- computed constructors -----------------------------------------------
+
+    def _xml_escape(self, c: Column, attr: bool = False) -> Column:
+        c = F.replace(c, F.lit("&"), F.lit("&amp;"))
+        c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+        c = F.replace(c, F.lit(">"), F.lit("&gt;"))
+        if attr:
+            c = F.replace(c, F.lit('"'), F.lit("&quot;"))
+        return c
+
+    def _content_str(self, tv: TV) -> Column:
+        """serialize one content item: constructed-xml strings embed
+        verbatim, atomic sequences join with ' ' escaped (XQuery content
+        rules for the shapes the goldens pin)."""
+        if tv.kind == "xmlstr":
+            return F.coalesce(tv.col, F.lit(""))
+        if tv.kind == "seq:xmlstr":
+            return F.array_join(tv.col, "")
+        if tv.is_seq:
+            seq = self.atomize_seq(tv)
+            strs = F.transform(
+                seq.col, lambda x: self._xml_escape(self.to_string(TV(x, seq.elem_kind)))
+            )
+            return F.array_join(strs, " ")
+        return F.coalesce(self._xml_escape(self.to_string(tv)), F.lit(""))
+
+    def _c_elemctor(self, n: P.ElemCtor) -> TV:
+        attrs = F.lit("")
+        for a in n.attrs:
+            av = self._xml_escape(self.to_string(self.compile(a.value)), attr=True)
+            attrs = F.concat(
+                attrs, F.lit(f" {a.name}=\""), F.coalesce(av, F.lit("")), F.lit('"')
+            )
+        content = F.lit("")
+        prev_atomic = False
+        for c in n.content:
+            tv = self.compile(c)
+            atomic = tv.kind not in ("xmlstr", "seq:xmlstr")
+            if prev_atomic and atomic:
+                # adjacent atomics in element content join with a space
+                content = F.concat(content, F.lit(" "))
+            content = F.concat(content, self._content_str(tv))
+            prev_atomic = atomic
+        open_tag = F.concat(F.lit("<"), F.lit(n.name), attrs)
+        col = F.when(
+            content == "", F.concat(open_tag, F.lit("/>"))
+        ).otherwise(
+            F.concat(open_tag, F.lit(">"), content, F.lit(f"</{n.name}>"))
+        )
+        return TV(col, "xmlstr")
+
+    def _c_attrctor(self, n: P.AttrCtor) -> TV:
+        # a standalone attribute constructor atomizes to its string value
+        return TV(self.to_string(self.compile(n.value)), "string")
+
+    def _c_textctor(self, n: P.TextCtor) -> TV:
+        return TV(self._xml_escape(self.to_string(self.compile(n.value))), "xmlstr")
 
     # -- XPath 3.1 / 4.0 operators ----------------------------------------------
 

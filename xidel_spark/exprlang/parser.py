@@ -178,6 +178,27 @@ class CastableAs:
     type_qname: str
 
 
+@dataclass
+class ElemCtor:
+    """computed element constructor: element NAME { content } — the
+    constructed value SERIALIZES (kind 'xmlstr'); path navigation over
+    constructed nodes is out of scope (would need a re-parse)."""
+    name: str
+    attrs: list   # [AttrCtor]
+    content: list  # non-attribute content items (AST)
+
+
+@dataclass
+class AttrCtor:
+    name: str
+    value: object
+
+
+@dataclass
+class TextCtor:
+    value: object
+
+
 # ---------------------------------------------------------------------------
 # tokenizer — a superset of extract.xpath's token stream, same kinds, so
 # the path parser consumes slices of it directly
@@ -593,6 +614,39 @@ class ExprParser:
             )
         if k == "name" and v in ("some", "every") and self.peek(1)[0] == "var":
             return self._quant(v)
+        if (
+            k == "name" and v == "element" and self.peek(1)[0] == "name"
+            and self.peek(2) == ("sym", "{")
+        ):
+            self.next()
+            name = self.next()[1]
+            self.expect("sym", "{")
+            items = []
+            if self.peek() != ("sym", "}"):
+                items.append(self.parse_sub())
+                while self.peek() == ("sym", ","):
+                    self.next()
+                    items.append(self.parse_sub())
+            self.expect("sym", "}")
+            attrs = [i for i in items if isinstance(i, AttrCtor)]
+            content = [i for i in items if not isinstance(i, AttrCtor)]
+            return ElemCtor(name, attrs, content)
+        if (
+            k == "name" and v == "attribute" and self.peek(1)[0] == "name"
+            and self.peek(2) == ("sym", "{")
+        ):
+            self.next()
+            name = self.next()[1]
+            self.expect("sym", "{")
+            val = self.parse_sub()
+            self.expect("sym", "}")
+            return AttrCtor(name, val)
+        if k == "name" and v == "text" and self.peek(1) == ("sym", "{"):
+            self.next()
+            self.next()
+            val = self.parse_sub()
+            self.expect("sym", "}")
+            return TextCtor(val)
         if k == "name" and v in ("true", "false") and self.peek(1) != ("sym", "("):
             # JSONiq word literals (readme.txt:133-135) — only when NOT
             # followed by '(', and not a path step start: a bare 'true'
