@@ -403,3 +403,28 @@ def test_computed_constructors(spark):
     row = df.select(*cols).first()
     for i, (src, want) in enumerate(cases):
         assert row[f"c{i}"] == want, f"{src!r}: want {want!r} got {row[f'c{i}']!r}"
+
+
+def test_static_document_literals(spark):
+    """static direct XML constructors compile to CONSTANT node arrays —
+    '(<html>..</html>)//td' navigates a compile-time literal (no per-row
+    parse, no UDF); the literal's value is the element node."""
+    cases = [
+        ("(<r><td>a</td><td>b</td></r>)//td", "a\nb"),
+        ("count((<x><i/><i/><i/></x>)//i)", "3"),
+        ("(<a href='u'>L</a>)/@href", "u"),
+        ("string((<p>hi</p>))", "hi"),
+        ("(<t>5</t>) + 1", "6"),
+        ("(<r><a>1</a></r>)//a = 1", "true"),
+    ]
+    df = spark.range(1)
+    cols = [compile_expr(s).string().alias(f"c{i}") for i, (s, _) in enumerate(cases)]
+    row = df.select(*cols).first()
+    for i, (src, want) in enumerate(cases):
+        assert row[f"c{i}"] == want, f"{src!r}: want {want!r} got {row[f'c{i}']!r}"
+    # the plan stays UDF-free: the literal is data, not a parse call
+    plan = (
+        df.select(compile_expr("(<r><td>x</td></r>)//td").string().alias("v"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan

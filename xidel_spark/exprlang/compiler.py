@@ -50,6 +50,10 @@ _SPARK_TYPE = {
 class TV:
     col: Column
     kind: str
+    # for 'nodes' values: the node array the ids index into. None = the
+    # compiler's context document; a static document literal
+    # ('(<html>..</html>)//td') carries its own constant array here.
+    backing: Column | None = None
 
     @property
     def is_seq(self) -> bool:
@@ -112,22 +116,29 @@ class Compiler:
 
     # -- coercions ----------------------------------------------------------
 
+    def _backing(self, tv: TV | None = None) -> Column:
+        """the node array a nodeset indexes: its own literal backing (doc
+        constructors) or the compiler's context document."""
+        if tv is not None and tv.backing is not None:
+            return tv.backing
+        if self.nodes is None:
+            raise ValueError("expr: node value requested without a node array")
+        return self.nodes
+
     def _first(self, tv: TV) -> TV:
         """first item of a sequence (XPath scalar contexts atomize);
         empty sequence → NULL (try_element_at — ANSI element_at raises)."""
         if tv.kind == "nodes":
             first = F.try_element_at(tv.col, F.lit(1))
             return TV(
-                F.when(first.isNotNull(), self._node_text(first)), "string"
+                F.when(first.isNotNull(), self._node_text(first, tv)), "string"
             )
         if tv.kind.startswith("seq:"):
             return TV(F.try_element_at(tv.col, F.lit(1)), tv.elem_kind)
         return tv
 
-    def _node_text(self, node_id: Column) -> Column:
-        if self.nodes is None:
-            raise ValueError("expr: node value requested without a node array")
-        return F.element_at(self.nodes, node_id.cast("int") + 1)["text"]
+    def _node_text(self, node_id: Column, tv: TV | None = None) -> Column:
+        return F.element_at(self._backing(tv), node_id.cast("int") + 1)["text"]
 
     def to_number(self, tv: TV) -> Column:
         tv = self._first(tv)
@@ -194,7 +205,7 @@ class Compiler:
         """sequence of strings (node sets → string values)."""
         if tv.kind == "nodes":
             return TV(
-                F.transform(tv.col, lambda i: self._node_text(i)), "seq:string"
+                F.transform(tv.col, lambda i: self._node_text(i, tv)), "seq:string"
             )
         return self.to_seq(tv)
 
@@ -243,31 +254,31 @@ class Compiler:
 
     # -- paths ----------------------------------------------------------------
 
-    def _path_value(self, ids: Column, path: Path) -> TV:
+    def _path_value(self, ids: Column, path: Path, backing: Column) -> TV:
         if path.attr is not None:
             attr = path.attr
             vals = F.transform(
                 ids,
                 lambda i: F.try_element_at(
-                    F.element_at(self.nodes, i.cast("int") + 1)["attrs"], F.lit(attr)
+                    F.element_at(backing, i.cast("int") + 1)["attrs"], F.lit(attr)
                 ),
             )
             return TV(F.filter(vals, lambda v: v.isNotNull()), "seq:string")
-        return TV(ids, "nodes")
+        return TV(ids, "nodes", backing=backing)
 
     def _c_pathroot(self, n: P.PathRoot) -> TV:
-        if self.nodes is None:
-            raise ValueError(f"expr: path used without a node array")
+        backing = self._backing(self.ctx if self.ctx is not None else None)
         root = self.ctx.col if (self.ctx and self.ctx.kind == "nodes") else F.array(
             F.lit(0).cast("int")
         )
-        return self._path_value(_eval_steps(self.nodes, root, n.path), n.path)
+        return self._path_value(_eval_steps(backing, root, n.path), n.path, backing)
 
     def _c_pathapply(self, n: P.PathApply) -> TV:
         base = self.compile(n.base)
         if base.kind != "nodes":
             raise ValueError("expr: '/' step applied to a non-node value")
-        return self._path_value(_eval_steps(self.nodes, base.col, n.path), n.path)
+        backing = self._backing(base)
+        return self._path_value(_eval_steps(backing, base.col, n.path), n.path, backing)
 
     # -- sequences --------------------------------------------------------------
 
@@ -329,7 +340,7 @@ class Compiler:
             # lambda's signature and rejects extra (defaulted) parameters
             def make_fn(pred, ek, size):
                 def fn(el, i):
-                    ctx = TV(F.array(el), "nodes") if ek == "nodes" else TV(el, ek)
+                    ctx = TV(F.array(el), "nodes", backing=seq.backing) if ek == "nodes" else TV(el, ek)
                     sub = self.bind(__ctx=ctx, __pos=i + 1, __size=size)
                     tv = sub.compile(pred)
                     if tv.kind in NUM_KINDS:  # numeric predicate = position test
@@ -520,7 +531,7 @@ class Compiler:
             ek = seq.elem_kind
 
             def body(el):
-                bound = comp.bind(**{var: TV(F.array(el), "nodes") if ek == "nodes" else TV(el, ek)})
+                bound = comp.bind(**{var: TV(F.array(el), "nodes", backing=seq.backing) if ek == "nodes" else TV(el, ek)})
                 return go(i + 1, bound)
 
             hof = F.exists if n.mode == "some" else F.forall
@@ -555,7 +566,7 @@ class Compiler:
 
             def body(el):
                 bound = comp.bind(
-                    **{var: TV(F.array(el), "nodes") if ek == "nodes" else TV(el, ek)}
+                    **{var: TV(F.array(el), "nodes", backing=seq.backing) if ek == "nodes" else TV(el, ek)}
                 )
                 return go(i + 1, bound)
 
@@ -587,7 +598,7 @@ class Compiler:
 
         def env_for(comp: "Compiler", el):
             bound = comp.bind(
-                **{var: TV(F.array(el), "nodes") if ek == "nodes" else TV(el, ek)}
+                **{var: TV(F.array(el), "nodes", backing=seq.backing) if ek == "nodes" else TV(el, ek)}
             )
             for _, lv, lsrc in lets:
                 bound = bound.bind(**{lv: bound.compile(lsrc)})
@@ -695,7 +706,7 @@ class Compiler:
         out_kind: list[str] = []
 
         def body(el, i):
-            ctx = TV(F.array(el), "nodes") if ek == "nodes" else TV(el, ek)
+            ctx = TV(F.array(el), "nodes", backing=seq.backing) if ek == "nodes" else TV(el, ek)
             sub = self.bind(__ctx=ctx, __pos=i + 1, __size=F.size(seq.col))
             tv = sub.compile(n.body)
             tv_seq = tv if tv.is_seq else sub.to_seq(tv)
@@ -996,10 +1007,28 @@ class CompiledExpr:
 
     def __init__(self, source: str):
         self.source = source
-        self.ast = P.parse_expr(source)
+        # static direct XML constructors become constant node-array vars:
+        # '(<html>..</html>)//td' navigates a compile-time literal
+        stripped = P._PROLOG.sub("", source)
+        rewritten, self._doc_literals = P.extract_doc_literals(stripped)
+        self.ast = P.parse_expr(rewritten)
+
+    def _env_with_docs(self, env):
+        if not self._doc_literals:
+            return env
+        from ..extract.nodes import literal_nodes
+
+        env = dict(env or {})
+        for name, markup in self._doc_literals.items():
+            backing, roots = literal_nodes(markup)
+            env[name] = TV(
+                F.array(*[F.lit(r).cast("int") for r in roots]), "nodes",
+                backing=backing,
+            )
+        return env
 
     def tv(self, env=None, nodes=None, ctx=None) -> TV:
-        c = Compiler(env=env, nodes=nodes, ctx=ctx)
+        c = Compiler(env=self._env_with_docs(env), nodes=nodes, ctx=ctx)
         return c.compile(self.ast)
 
     def column(self, env=None, nodes=None, ctx=None) -> Column:
@@ -1009,7 +1038,7 @@ class CompiledExpr:
     def values(self, env=None, nodes=None, ctx=None) -> Column:
         """array<string> of printed items — the reference's -e output model
         (one line per sequence item)."""
-        c = Compiler(env=env, nodes=nodes, ctx=ctx)
+        c = Compiler(env=self._env_with_docs(env), nodes=nodes, ctx=ctx)
         tv = c.compile(self.ast)
         if tv.is_seq:
             seq = c.atomize_seq(tv)
@@ -1031,7 +1060,7 @@ class CompiledExpr:
         """(result column, [(var, value column), ...]) — the `v := e`
         assignments in evaluation order, printed-form columns, ready to
         feed the variable change log (extract/changelog.py)."""
-        c = Compiler(env=env, nodes=nodes, ctx=ctx)
+        c = Compiler(env=self._env_with_docs(env), nodes=nodes, ctx=ctx)
         tv = c.compile(self.ast)
         log = [(name, c.to_string(v)) for name, v in c.assignments]
         return tv.col, log

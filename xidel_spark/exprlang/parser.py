@@ -284,6 +284,82 @@ _PROLOG = re.compile(
 )
 
 
+def _scan_markup(s: str, i: int) -> int | None:
+    """balanced scan of a direct XML constructor starting at s[i] == '<';
+    returns the end index (exclusive) or None if not well-formed markup.
+    Static markup only — '{' interpolation disqualifies (the computed
+    constructors handle dynamic content)."""
+    depth = 0
+    j = i
+    n = len(s)
+    while j < n:
+        c = s[j]
+        if c == "{":
+            return None
+        if c == "<":
+            if s.startswith("<!--", j):
+                end = s.find("-->", j)
+                if end < 0:
+                    return None
+                j = end + 3
+                continue
+            close = s[j + 1 : j + 2] == "/"
+            k = j + 1 + (1 if close else 0)
+            if k >= n or not (s[k].isalpha() or s[k] == "_"):
+                return None
+            # find tag end, quote-aware
+            q = None
+            while k < n:
+                ch = s[k]
+                if q:
+                    if ch == q:
+                        q = None
+                elif ch in "'\"":
+                    q = ch
+                elif ch == "{":
+                    return None
+                elif ch == ">":
+                    break
+                k += 1
+            if k >= n:
+                return None
+            selfclose = s[k - 1] == "/"
+            if close:
+                depth -= 1
+            elif not selfclose:
+                depth += 1
+            j = k + 1
+            if depth == 0:
+                return j
+            continue
+        j += 1
+    return None
+
+
+def extract_doc_literals(src: str) -> tuple[str, dict[str, str]]:
+    """replace static direct XML constructors with synthetic $__docN vars;
+    recognized at expression start or right after '(' / ','."""
+    out = []
+    docs: dict[str, str] = {}
+    i = 0
+    n = len(src)
+    while i < n:
+        c = src[i]
+        if c == "<" and i + 1 < n and (src[i + 1].isalpha() or src[i + 1] == "_"):
+            prev = "".join(out).rstrip()
+            if prev == "" or prev.endswith(("(", ",")):
+                end = _scan_markup(src, i)
+                if end is not None:
+                    name = f"__doc{len(docs)}"
+                    docs[name] = src[i:end]
+                    out.append(f"${name}")
+                    i = end
+                    continue
+        out.append(c)
+        i += 1
+    return "".join(out), docs
+
+
 class ExprParser:
     def __init__(self, src: str):
         # version declarations toggle extension sets in the reference

@@ -388,6 +388,55 @@ def _rows_to_dicts(rows) -> list[dict] | None:
     ]
 
 
+def literal_nodes(markup: str) -> tuple[Column, list[int]]:
+    """parse markup at COMPILE time (driver) into a CONSTANT node-array
+    column — the backing for static document literals in expressions
+    ('(<html>..</html>)//td'): navigation over them is then plain
+    Catalyst over a literal, no per-row parse, no UDF. Returns
+    (array column, ids of the top-level element nodes — the literal's
+    VALUE per XQuery, not the synthetic #doc root). Parsed as XML (a
+    direct constructor is XQuery XML — no HTML fragment wrapping);
+    falls back to the lenient auto parser."""
+    parsed = _parse_xml_py(markup)
+    if parsed is None:
+        parsed = _parse_auto_py(markup) or []
+    structs = []
+    for n in parsed:
+        attrs = n.get("attrs") or {}
+        if attrs:
+            kv = []
+            for k, v in attrs.items():
+                kv.append(F.lit(k))
+                kv.append(F.lit(v if v is not None else ""))
+            attrs_col = F.create_map(*kv)
+        else:
+            attrs_col = F.create_map().cast("map<string,string>")
+        anc = n.get("anc") or []
+        anc_col = (
+            F.array(*[F.lit(a).cast("int") for a in anc])
+            if anc
+            else F.array().cast("array<int>")
+        )
+        structs.append(
+            F.struct(
+                F.lit(n["id"]).cast("int").alias("id"),
+                F.lit(n["parent"]).cast("int").alias("parent"),
+                F.lit(n["pos"]).cast("int").alias("pos"),
+                F.lit(n["tag"]).alias("tag"),
+                attrs_col.alias("attrs"),
+                (F.lit(n["text"]) if n.get("text") is not None else F.lit(None).cast("string")).alias("text"),
+                anc_col.alias("anc"),
+            )
+        )
+    roots = [
+        n["id"] for n in parsed
+        if n.get("parent") == 0 and not str(n.get("tag", "")).startswith("#")
+    ] or [0]
+    if not structs:
+        return F.array().cast(NODES_TYPE.simpleString()), roots
+    return F.array(*structs), roots
+
+
 def _esc_text_expr(c: Column) -> Column:
     c = F.replace(c, F.lit("&"), F.lit("&amp;"))
     c = F.replace(c, F.lit("<"), F.lit("&lt;"))
