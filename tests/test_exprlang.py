@@ -203,18 +203,20 @@ def test_reference_expression_acceptance():
             if t in ("-e", "--extract", "--xpath", "--xquery") and i + 1 < len(toks):
                 exprs.append(toks[i + 1])
     assert len(exprs) > 600
-    ok = patt = 0
+    ok = routed = 0
     for e in exprs:
-        if detect_kind(e) == "pattern":
-            patt += 1
+        if detect_kind(e) in ("pattern", "css"):
+            routed += 1
             continue
         try:
-            parse_expr(e)
+            compile_expr(e)  # incl. doc-literal preprocessing
             ok += 1
         except Exception:
             pass
-    handled = ok + patt
-    assert handled / len(exprs) >= 0.70, f"{handled}/{len(exprs)}"
+    handled = ok + routed
+    # measured 95% at round 3 — pinned with slack for future refactors
+    assert handled / len(exprs) >= 0.85, f"{handled}/{len(exprs)}"
+    _ = parse_expr  # the raw parser stays importable for the meter
 
 
 def test_flwor_order_by(spark):
