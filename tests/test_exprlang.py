@@ -430,3 +430,23 @@ def test_static_document_literals(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_declare_prolog(spark):
+    """declare variable / declare function prologs (tests.sh xquery6):
+    variables become lets, functions inline statically with params bound
+    (recursion is depth-guarded — column plans cannot recurse)."""
+    cases = [
+        ('declare function local:abc(){"&gt;"}; local:abc()', "&gt;"),
+        ("declare function local:dbl($x){$x * 2}; local:dbl(21)", "42"),
+        ("declare function local:add($a, $b){$a + $b}; local:add(1, local:add(2, 3))", "6"),
+        ('declare variable $xyz := "hello"; substring($xyz,2,3)', "ell"),
+        ("declare variable $a := 3; declare variable $b := $a * 2; $a + $b", "9"),
+    ]
+    df = spark.range(1)
+    cols = [compile_expr(s).string().alias(f"c{i}") for i, (s, _) in enumerate(cases)]
+    row = df.select(*cols).first()
+    for i, (src, want) in enumerate(cases):
+        assert row[f"c{i}"] == want, f"{src!r}: want {want!r} got {row[f'c{i}']!r}"
+    with pytest.raises(ValueError, match="depth"):
+        compile_expr("declare function local:f($x){local:f($x)}; local:f(1)").column()

@@ -88,7 +88,10 @@ class Compiler:
         ctx: TV | None = None,
         pos: Column | None = None,
         size: Column | None = None,
+        funcs: Mapping[str, "P.FuncDecl"] | None = None,
     ):
+        self.funcs = dict(funcs or {})
+        self._call_depth = 0
         self.env = dict(env or {})
         self.nodes = nodes
         if ctx is None and nodes is not None:
@@ -101,8 +104,9 @@ class Compiler:
         self.assignments: list[tuple[str, TV]] = []
 
     def bind(self, **kw) -> "Compiler":
-        c = Compiler(self.env, self.nodes, self.ctx, self.pos, self.size)
+        c = Compiler(self.env, self.nodes, self.ctx, self.pos, self.size, self.funcs)
         c.assignments = self.assignments  # shared: nested assigns surface
+        c._call_depth = self._call_depth
         for k, v in kw.items():
             if k == "__ctx":
                 c.ctx = v
@@ -832,6 +836,24 @@ class Compiler:
     def _c_call(self, n: P.Call) -> TV:
         name = n.qname
         local = name.split(":", 1)[-1]
+        if name in self.funcs:
+            # prolog-declared function: inline the body with params bound
+            # (static expansion — a recursive declaration has no base-case
+            # short-circuit in a column plan, hence the depth guard)
+            if self._call_depth > 16:
+                raise ValueError(
+                    f"expr: recursive local function {name!r} exceeds the "
+                    f"static-inline depth (column plans cannot recurse)"
+                )
+            fd = self.funcs[name]
+            args = [self.compile(a) for a in n.args]
+            if len(args) != len(fd.params):
+                raise ValueError(
+                    f"expr: {name!r} expects {len(fd.params)} args, got {len(args)}"
+                )
+            bound = self.bind(**dict(zip(fd.params, args)))
+            bound._call_depth = self._call_depth + 1
+            return bound.compile(fd.body)
         if local == "eval":
             # eval("expr") (readme.txt:205): compile-time expansion for
             # constant strings — the only form a static column plan can
@@ -1011,7 +1033,7 @@ class CompiledExpr:
         # '(<html>..</html>)//td' navigates a compile-time literal
         stripped = P._PROLOG.sub("", source)
         rewritten, self._doc_literals = P.extract_doc_literals(stripped)
-        self.ast = P.parse_expr(rewritten)
+        self.ast, self._funcs = P.parse_expr_full(rewritten)
 
     def _env_with_docs(self, env):
         if not self._doc_literals:
@@ -1028,7 +1050,8 @@ class CompiledExpr:
         return env
 
     def tv(self, env=None, nodes=None, ctx=None) -> TV:
-        c = Compiler(env=self._env_with_docs(env), nodes=nodes, ctx=ctx)
+        c = Compiler(env=self._env_with_docs(env), nodes=nodes, ctx=ctx,
+                     funcs=self._funcs)
         return c.compile(self.ast)
 
     def column(self, env=None, nodes=None, ctx=None) -> Column:
@@ -1038,7 +1061,8 @@ class CompiledExpr:
     def values(self, env=None, nodes=None, ctx=None) -> Column:
         """array<string> of printed items — the reference's -e output model
         (one line per sequence item)."""
-        c = Compiler(env=self._env_with_docs(env), nodes=nodes, ctx=ctx)
+        c = Compiler(env=self._env_with_docs(env), nodes=nodes, ctx=ctx,
+                     funcs=self._funcs)
         tv = c.compile(self.ast)
         if tv.is_seq:
             seq = c.atomize_seq(tv)
@@ -1060,7 +1084,8 @@ class CompiledExpr:
         """(result column, [(var, value column), ...]) — the `v := e`
         assignments in evaluation order, printed-form columns, ready to
         feed the variable change log (extract/changelog.py)."""
-        c = Compiler(env=self._env_with_docs(env), nodes=nodes, ctx=ctx)
+        c = Compiler(env=self._env_with_docs(env), nodes=nodes, ctx=ctx,
+                     funcs=self._funcs)
         tv = c.compile(self.ast)
         log = [(name, c.to_string(v)) for name, v in c.assignments]
         return tv.col, log

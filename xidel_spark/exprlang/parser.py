@@ -199,6 +199,20 @@ class TextCtor:
     value: object
 
 
+@dataclass
+class FuncDecl:
+    """declare function local:name($p1, $p2) { body };"""
+    qname: str
+    params: list  # param names
+    body: object
+
+
+@dataclass
+class LocalCall:
+    qname: str
+    args: list
+
+
 # ---------------------------------------------------------------------------
 # tokenizer — a superset of extract.xpath's token stream, same kinds, so
 # the path parser consumes slices of it directly
@@ -223,6 +237,7 @@ _TOKEN = re.compile(
       | (?P<op><=|>=|!=|=|<|>|\+)
       | (?P<minus>-)
       | (?P<bang>!)
+      | (?P<semi>;)
       | (?P<colon>:)
       | (?P<sym>[@\[\]().,*|{}?])
     )""",
@@ -392,6 +407,55 @@ class ExprParser:
 
     # -- entry --------------------------------------------------------------
     def parse(self):
+        # prolog: declare variable/function (tests.sh xquery6 shapes)
+        self.func_decls: list[FuncDecl] = []
+        var_decls: list[tuple[str, object]] = []
+        while self.at_word("declare"):
+            self.next()
+            if self.at_word("variable"):
+                self.next()
+                vk, vv = self.next()
+                if vk != "var":
+                    raise ValueError(f"expr: bad variable declaration in {self.src!r}")
+                self.expect("dcolonassign")
+                var_decls.append((vv[1:], self.exprsingle()))
+            elif self.at_word("function"):
+                self.next()
+                nk, nv = self.next()
+                if nk == "func":  # zero-arg: 'local:abc()'
+                    fname, params = nv[:-2], []
+                elif nk == "name":
+                    fname = nv
+                    self.expect("sym", "(")
+                    params = []
+                    while self.peek()[0] == "var":
+                        params.append(self.next()[1][1:])
+                        # optional 'as TYPE' annotations are skipped
+                        if self.at_word("as"):
+                            self.next()
+                            self.next()
+                            if self.peek() == ("sym", "?"):
+                                self.next()
+                        if self.peek() == ("sym", ","):
+                            self.next()
+                    self.expect("sym", ")")
+                else:
+                    raise ValueError(f"expr: bad function declaration in {self.src!r}")
+                if self.at_word("as"):  # return-type annotation
+                    self.next()
+                    self.next()
+                    if self.peek() == ("sym", "?"):
+                        self.next()
+                self.expect("sym", "{")
+                body = self.parse_sub()
+                self.expect("sym", "}")
+                self.func_decls.append(FuncDecl(fname, params, body))
+            else:
+                raise ValueError(
+                    f"expr: unsupported prolog 'declare {self.peek()[1]}' in {self.src!r}"
+                )
+            if self.peek()[0] == "semi":
+                self.next()
         # Expr := ExprSingle (',' ExprSingle)* — a top-level comma list is
         # a sequence (the common multi-value -e shape)
         items = [self.parse_sub()]
@@ -403,6 +467,9 @@ class ExprParser:
             raise ValueError(
                 f"expr: trailing tokens in {self.src!r}: {self.toks[self.i:]!r}"
             )
+        # declared variables wrap the body as lets (evaluation-order-correct)
+        for name, val in reversed(var_decls):
+            e = Flwor([("let", name, val)], None, e)
         return e
 
     def parse_sub(self):
@@ -919,7 +986,15 @@ class ExprParser:
 
 
 def parse_expr(src: str):
-    return ExprParser(src).parse()
+    return parse_expr_full(src)[0]
+
+
+def parse_expr_full(src: str):
+    """(ast, declared functions) — the prolog's `declare function` entries
+    need the compiler (late-bound, recursion-guarded)."""
+    p = ExprParser(src)
+    ast = p.parse()
+    return ast, {f.qname: f for f in getattr(p, "func_decls", [])}
 
 
 # ---------------------------------------------------------------------------
