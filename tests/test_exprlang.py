@@ -450,3 +450,26 @@ def test_declare_prolog(spark):
         assert row[f"c{i}"] == want, f"{src!r}: want {want!r} got {row[f'c{i}']!r}"
     with pytest.raises(ValueError, match="depth"):
         compile_expr("declare function local:f($x){local:f($x)}; local:f(1)").column()
+
+
+def test_instance_of(spark):
+    """'instance of' — decidable statically (the compile-time kind IS the
+    dynamic type in the column value model), incl. occurrence indicators
+    and the vacuous empty-sequence rule."""
+    cases = [
+        ("5 instance of xs:integer", "true"),
+        ("5 instance of xs:string", "false"),
+        ("'x' instance of xs:string", "true"),
+        ("5.1 instance of xs:double", "true"),
+        ("(1,2) instance of xs:integer*", "true"),
+        ("(1,2) instance of xs:integer", "false"),
+        ("() instance of xs:integer?", "true"),
+        ("(1,2) instance of xs:integer+", "true"),
+        ("true() instance of xs:boolean", "true"),
+        ("5 instance of item()", "true"),
+    ]
+    df = spark.range(1)
+    cols = [compile_expr(s).string().alias(f"c{i}") for i, (s, _) in enumerate(cases)]
+    row = df.select(*cols).first()
+    for i, (src, want) in enumerate(cases):
+        assert row[f"c{i}"] == want, f"{src!r}: want {want!r} got {row[f'c{i}']!r}"

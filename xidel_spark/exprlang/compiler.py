@@ -753,6 +753,57 @@ class Compiler:
             raise ValueError(f"expr: string lookup {key!r} on a non-map value")
         return TV(F.try_element_at(seq.col, idx.cast("int")), seq.elem_kind)
 
+    # static kind → the xs types it satisfies (instance-of is a DYNAMIC
+    # type test in XPath, but the compile-time kind IS the dynamic type in
+    # this value model, so the answer is decidable statically)
+    _KIND_TYPES = {
+        "long": {"xs:integer", "xs:long", "xs:int", "xs:decimal", "xs:numeric",
+                 "xs:anyAtomicType", "item()"},
+        "double": {"xs:double", "xs:numeric", "xs:anyAtomicType", "item()"},
+        "string": {"xs:string", "xs:untypedAtomic", "xs:anyAtomicType", "item()"},
+        "bool": {"xs:boolean", "xs:anyAtomicType", "item()"},
+        "nodes": {"node()", "element()", "item()"},
+        "map": {"map()", "item()"},
+        "xmlstr": {"node()", "element()", "item()"},
+    }
+
+    def _c_instanceof(self, n: P.InstanceOf) -> TV:
+        tv = self.compile(n.expr)
+        t = n.type_qname if (":" in n.type_qname or n.type_qname.endswith("()")) \
+            else f"xs:{n.type_qname}"
+        if tv.is_seq and tv.kind != "nodes":
+            ek = tv.elem_kind
+            elem_ok = t in self._KIND_TYPES.get(ek, {"item()"})
+            size = F.size(tv.col)
+            if n.occurrence in ("*", "+"):
+                cond = F.lit(elem_ok) & (size >= (1 if n.occurrence == "+" else 0))
+            elif n.occurrence == "?":
+                cond = F.lit(elem_ok) & (size <= 1)
+            else:
+                cond = F.lit(elem_ok) & (size == 1)
+            # the EMPTY sequence matches ANY type with '?' or '*' (vacuous)
+            cond = F.when(size == 0, F.lit(n.occurrence in ("?", "*"))).otherwise(cond)
+            return TV(cond, "bool")
+        if tv.kind == "nodes":
+            ok = t in self._KIND_TYPES["nodes"]
+            n_items = F.size(tv.col)
+            card = {
+                "": n_items == 1, "?": n_items <= 1,
+                "*": F.lit(True), "+": n_items >= 1,
+            }[n.occurrence]
+            return TV(F.lit(ok) & card, "bool")
+        if tv.kind == "any":
+            raise ValueError(
+                "expr: 'instance of' on a dynamically-typed value — cast "
+                "first (xs constructors) to assert the type"
+            )
+        ok = t in self._KIND_TYPES.get(tv.kind, set())
+        card = F.lit(True) if n.occurrence in ("", "?", "*", "+") else F.lit(False)
+        scalar_ok = F.when(tv.col.isNull(), F.lit(n.occurrence in ("?", "*"))).otherwise(
+            F.lit(ok)
+        )
+        return TV(scalar_ok & card, "bool")
+
     def _c_castableas(self, n: P.CastableAs) -> TV:
         v = self._c_castas(P.CastAs(n.expr, n.type_qname))
         col = v.col

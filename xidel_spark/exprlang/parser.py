@@ -213,6 +213,13 @@ class LocalCall:
     args: list
 
 
+@dataclass
+class InstanceOf:
+    expr: object
+    type_qname: str
+    occurrence: str  # '' | '?' | '*' | '+'
+
+
 # ---------------------------------------------------------------------------
 # tokenizer — a superset of extract.xpath's token stream, same kinds, so
 # the path parser consumes slices of it directly
@@ -599,10 +606,26 @@ class ExprParser:
             if self.peek() == ("sym", "?"):
                 self.next()  # optional-occurrence marker: same compilation
             a = CastAs(a, tv) if word == "cast" else CastableAs(a, tv)
-        if self.at_word("instance", "treat"):
+        while self.at_word("instance"):
+            self.next()
+            if not self.at_word("of"):
+                raise ValueError(f"expr: 'instance' without 'of' in {self.src!r}")
+            self.next()
+            tk, tv2 = self.next()
+            if tk == "func":  # item() / node() sequence types
+                tv2 = tv2[:-2] + "()"
+            elif tk != "name":
+                raise ValueError(f"expr: bad sequence type {tv2!r} in {self.src!r}")
+            occ = ""
+            nk, nv = self.peek()
+            if (nk, nv) in (("sym", "?"), ("sym", "*")) or (nk, nv) == ("op", "+"):
+                occ = nv
+                self.next()
+            a = InstanceOf(a, tv2, occ)
+        if self.at_word("treat"):
             raise ValueError(
-                f"expr: '{self.peek()[1]} of/as' is not supported in the string "
-                f"surface (route type checks through xs constructors)"
+                f"expr: 'treat as' is not supported in the string surface "
+                f"(route type checks through xs constructors)"
             )
         return a
 
