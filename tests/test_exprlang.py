@@ -67,6 +67,16 @@ CASES = [
     ("avg((2,4))", "3"),
     ("max((1,9,4))", "9"),
     ("min((3,1,4))", "1"),
+    # weak-typed min/max over non-numeric strings: collation order picks the
+    # ORIGINAL item (not a mangled key), all-numeric strings compare as numbers
+    ("max(('apple','Banana','cherry'))", "cherry"),
+    ("min(('apple','Banana','cherry'))", "apple"),
+    ("max(('1','10','9'))", "10"),
+    # predicate over a document-literal node set: the filter must carry the
+    # literal's backing array (ids would otherwise atomize against the
+    # context document)
+    ("((<r><a>2</a><a>1</a></r>)//a)[2]", "1"),
+    ("string-join((<r><a>2</a><a>1</a></r>)//a[. > 1], ',')", "2"),
     # casts
     ("3.14 cast as xs:integer", "3"),
     ("'42' cast as xs:double", "42"),

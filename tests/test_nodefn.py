@@ -92,7 +92,7 @@ def test_transform_nodes_via_registry(spark):
 
 def test_request_decode(spark):
     df = spark.createDataFrame(
-        [("http://h.com/p/q?a=1&b=2", "c=3&d"), ("https://x.org", None)],
+        [("http://h.com/p/q?a=1&b=2=x", "c=3&d"), ("https://x.org", None)],
         "url string, body string",
     )
     got = df.select(
@@ -101,7 +101,7 @@ def test_request_decode(spark):
     r0 = got[0]["r"]
     assert r0["host"] == "h.com" and r0["path"] == "/p/q"
     assert [(p["name"], p["value"]) for p in r0["params"]] == [
-        ("a", "1"), ("b", "2"), ("c", "3"), ("d", ""),
+        ("a", "1"), ("b", "2=x"), ("c", "3"), ("d", ""),  # value keeps its '='
     ]
     r1 = got[1]["r"]
     assert r1["path"] == "/" and list(r1["params"]) == []

@@ -15,7 +15,8 @@ def test_integer_facets(spark):
     r = _one(
         spark,
         xsd.xs_integer(F.lit(" 42 ")),
-        xsd.xs_integer(F.lit("3.9")),       # double lexical → truncates
+        xsd.xs_integer(F.lit("3.9")),       # NOT in the integer lexical space → NULL
+        xsd.xs_integer(F.lit("3.0")),       # double-column stringification → 3
         xsd.xs_byte(F.lit("127")),
         xsd.xs_byte(F.lit("128")),          # out of facet → NULL
         xsd.xs_unsignedByte(F.lit("-1")),
@@ -23,7 +24,7 @@ def test_integer_facets(spark):
         xsd.xs_negativeInteger(F.lit("0")),
         xsd.xs_positiveInteger(F.lit("1")),
     )
-    assert list(r) == [42, 3, 127, None, None, -5, None, 1]
+    assert list(r) == [42, None, 3, 127, None, None, -5, None, 1]
 
 
 def test_double_decimal_bool(spark):

@@ -80,15 +80,18 @@ def x_request(
 def _params_of(qs: Column) -> Column:
     """'a=1&b=2' → array<struct<name,value>> in order (empty → [])."""
     pairs = F.filter(F.split(F.coalesce(qs, F.lit("")), "&"), lambda p: p != "")
-    return F.transform(
-        pairs,
-        lambda p: F.struct(
-            F.substring_index(p, "=", 1).alias("name"),
-            F.when(p.contains("="), F.substring_index(p, "=", -1))
+
+    def pair(p):
+        name = F.substring_index(p, "=", 1)
+        # value = everything after the FIRST '=' — a value may itself
+        # contain '=' ('a=b=c' → value 'b=c', not 'c')
+        value = (
+            F.when(p.contains("="), F.substring(p, F.length(name) + 2, F.length(p)))
             .otherwise(F.lit(""))
-            .alias("value"),
-        ),
-    )
+        )
+        return F.struct(name.alias("name"), value.alias("value"))
+
+    return F.transform(pairs, pair)
 
 
 def request_decode(url: Column, body: Column | None = None) -> Column:

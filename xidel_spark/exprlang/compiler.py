@@ -353,7 +353,10 @@ class Compiler:
 
                 return fn
 
-            cur = TV(F.filter(seq.col, make_fn(pred, ek, size)), out_kind)
+            # carry the node-array backing through the filter — a predicate
+            # over a document-literal node set would otherwise atomize its
+            # ids against the context document's array (wrong values)
+            cur = TV(F.filter(seq.col, make_fn(pred, ek, size)), out_kind, backing=seq.backing)
         return cur
 
     # -- operators ---------------------------------------------------------------
@@ -379,7 +382,15 @@ class Compiler:
             l, r = self.compile(n.left), self.compile(n.right)
             if l.kind != "nodes" or r.kind != "nodes":
                 raise ValueError("expr: '|' union requires node sequences")
-            return TV(F.array_sort(F.array_distinct(F.concat(l.col, r.col))), "nodes")
+            # both sides of a '|' share a document in practice (paths from
+            # one root); keep whichever literal backing is present so the
+            # union's ids still resolve against the right node array
+            backing = l.backing if l.backing is not None else r.backing
+            return TV(
+                F.array_sort(F.array_distinct(F.concat(l.col, r.col))),
+                "nodes",
+                backing=backing,
+            )
         if op in ("+", "-", "*", "div", "idiv", "mod"):
             return self._arith(op, self.compile(n.left), self.compile(n.right))
         return self._compare(op, self.compile(n.left), self.compile(n.right))
@@ -1032,13 +1043,24 @@ class Compiler:
         seq = self.atomize_seq(tv)
         if seq.elem_kind in NUM_KINDS:
             return TV(agg(seq.col), seq.elem_kind)
+        # weak typing: all-numeric strings compare numerically, otherwise by
+        # collation. Both when-branches must share one type (ANSI would
+        # coerce a string branch to double and crash), so the numeric
+        # branch is formatted via to_string and the collation branch picks
+        # the ORIGINAL item via min/max over struct<key,value> pairs
+        # (struct comparison is field-by-field: key decides, value rides).
         nums = F.transform(seq.col, lambda x: x.cast("string").try_cast("double"))
-        return TV(
-            F.when(~F.exists(nums, lambda x: x.isNull()), agg(nums)).otherwise(
-                agg(F.transform(seq.col, lambda x: collation_key_expr(x)))
+        all_numeric = ~F.exists(nums, lambda x: x.isNull())
+        num_result = self.to_string(TV(agg(nums), "double"))
+        keyed = F.transform(
+            seq.col,
+            lambda x: F.struct(
+                collation_key_expr(x.cast("string")).alias("k"),
+                x.cast("string").alias("v"),
             ),
-            "any",
         )
+        str_result = agg(keyed)["v"]
+        return TV(F.when(all_numeric, num_result).otherwise(str_result), "string")
 
     def _f_outer_xml(self, args: list[TV]) -> TV:
         return self._serialize_xml(args, inner=False)

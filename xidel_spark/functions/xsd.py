@@ -105,12 +105,11 @@ def xs_decimal(c: Column) -> Column:
 def xs_integer(c: Column) -> Column:
     s = F.trim(c.cast("string"))
     # integer lexical space has no decimal point — '3.9' is NOT an integer
-    # (cast-from-double truncation is the job of the double→integer cast,
-    # which callers do by composing xs:integer(xs:double(x)))
-    direct = F.when(s.rlike(r"^[+-]?\d+$"), s.try_cast("long"))
-    return F.when(
-        s.rlike(r"^[+-]?\d+$"), direct
-    ).otherwise(s.try_cast("double").cast("long"))
+    # and maps to NULL (out-of-facet policy); a '.0…' tail is accepted so a
+    # double-typed COLUMN whose stringification is '3.0' still casts
+    # (cast-from-double truncation otherwise composes xs:integer(xs:double))
+    ok = s.rlike(r"^[+-]?\d+(\.0*)?$")
+    return F.when(ok, F.regexp_replace(s, r"\.0*$", "").try_cast("long"))
 
 
 def _ranged(lo: int | None, hi: int | None):
