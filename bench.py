@@ -26,6 +26,22 @@ from pyspark.sql import functions as F  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 MULT = int(os.environ.get("BENCH_MULT", "200"))
+REPS = int(os.environ.get("BENCH_REPS", "3"))
+
+
+def min_of(fn, n: int = REPS) -> float:
+    """min-of-N wall time for a leg. Single-shot numbers on this box flip
+    verdicts (r3's driver record showed a 9.8 s bloom-probe outlier vs a
+    1.6-3.3 s steady state); the min is the stable, cache-warm figure the
+    break-even calibration needs. The two one-off legs (wave-crawl
+    headline, bloom build) stay single-shot — they are 25-35 s each and
+    their wave-loop variance is relatively small."""
+    best = float("inf")
+    for _ in range(max(n, 1)):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return best
 
 
 def bench_corpus_links(spark, n_nodes: int):
@@ -88,55 +104,61 @@ def run(spark) -> dict:
     extras["frontier_urls_per_sec"] = round(scheduled / timings["crawl_waves_cyclic"], 1)
 
     # q2: exact DFS rank fixpoint on the layered SF corpus
-    t0 = time.time()
     docs = corpus.synth_docs(spark, SF_DIR)
-    l2 = extract_links(docs, "//a")
-    res = crawl_exact(spark, l2, corpus.synth_seeds(spark, SF_DIR))
-    res.visited.count()
-    timings["crawl_dfs_exact"] = time.time() - t0
+
+    def leg_dfs():
+        l2 = extract_links(docs, "//a")
+        crawl_exact(spark, l2, corpus.synth_seeds(spark, SF_DIR)).visited.count()
+
+    timings["crawl_dfs_exact"] = min_of(leg_dfs)
 
     # q3: span link extraction over the interleaved docs (replicated)
-    t0 = time.time()
     reps = spark.range(MULT)
     big_docs = docs.crossJoin(reps)
-    extract_links(big_docs, "//a").count()
-    timings["link_extraction"] = time.time() - t0
+    timings["link_extraction"] = min_of(lambda: extract_links(big_docs, "//a").count())
 
     # q4: canonicalization throughput (replicated dirty urls) — both
     # engines: the Arrow row-map (auto default on local) and the pure
     # Catalyst expression (auto default off-box, no Python boundary)
-    t0 = time.time()
-    dirty = corpus.dirty_urls(spark, SF_DIR).crossJoin(reps)
-    dirty.select(canonicalize(F.col("raw_url")).alias("c")).where(
-        F.col("c").isNotNull()
-    ).count()
-    timings["url_canonicalize"] = time.time() - t0
     from xidel_spark.urlnorm import canonicalize_expr
 
-    t0 = time.time()
-    dirty.select(canonicalize_expr(F.col("raw_url")).alias("c")).where(
-        F.col("c").isNotNull()
-    ).count()
-    extras["url_canonicalize_expr_sec"] = round(time.time() - t0, 2)
+    dirty = corpus.dirty_urls(spark, SF_DIR).crossJoin(reps)
+    timings["url_canonicalize"] = min_of(
+        lambda: dirty.select(canonicalize(F.col("raw_url")).alias("c"))
+        .where(F.col("c").isNotNull())
+        .count()
+    )
+    extras["url_canonicalize_expr_sec"] = round(
+        min_of(
+            lambda: dirty.select(canonicalize_expr(F.col("raw_url")).alias("c"))
+            .where(F.col("c").isNotNull())
+            .count()
+        ),
+        2,
+    )
 
     # q5: minhash-LSH dedup candidates over the SF document corpus
     from xidel_spark.ops import dedup_text as dt
 
-    t0 = time.time()
     base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
-    sigs = dt.minhash_signature(base, k=8)
-    dt.lsh_candidate_pairs(dt.lsh_buckets(sigs, bands=4)).count()
-    timings["dedup_minhash_lsh"] = time.time() - t0
+
+    def leg_lsh():
+        sigs = dt.minhash_signature(base, k=8)
+        dt.lsh_candidate_pairs(dt.lsh_buckets(sigs, bands=4)).count()
+
+    timings["dedup_minhash_lsh"] = min_of(leg_lsh)
 
     # q6: ANN top-k (SRP-LSH) over the embeddings table
     from xidel_spark.ops.similarity import ann_topk_lsh
 
-    t0 = time.time()
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    ann_topk_lsh(emb.where(F.col("vec_id") < 64), emb, k=5, bits=8, tables=4).count()
-    timings["ann_topk_lsh"] = time.time() - t0
+    timings["ann_topk_lsh"] = min_of(
+        lambda: ann_topk_lsh(
+            emb.where(F.col("vec_id") < 64), emb, k=5, bits=8, tables=4
+        ).count()
+    )
 
     # q7: bloom-prefiltered dedup in the mature-crawl regime (|seen| >>
     # per-wave candidates: 20M seen, 50k candidates, 5% dups). Steady-state
@@ -156,24 +178,24 @@ def run(spark) -> dict:
         .otherwise(useen(F.col("id") + n_seen))
         .alias("url")
     ).localCheckpoint(eager=True)
-    t0 = time.time()
-    exact_dups = cand.count() - cand.join(seen_big, "url", "left_anti").count()
-    t_exact = time.time() - t0
+    n_cand = cand.count()
+    t_exact = min_of(lambda: cand.join(seen_big, "url", "left_anti").count())
+    exact_dups = n_cand - cand.join(seen_big, "url", "left_anti").count()
     t0 = time.time()
     bloom = build_bloom(seen_big, capacity=2 * n_seen, n_shards=64, partitioned_cache=True)
     t_build = time.time() - t0
     old_thresh = bl.BROADCAST_MAX_BITS
     bl.BROADCAST_MAX_BITS = 0  # resident partitioned filter → distributed probe
     try:
-        t0 = time.time()
+        t_probe = min_of(
+            lambda: flag_candidates(cand, bloom).where(F.col("__maybe")).count()
+        )
+        # materialize the flagged set once, off-clock, for the adjudication leg
         flagged = flag_candidates(cand, bloom).localCheckpoint(eager=True)
         n_maybe = flagged.where(F.col("__maybe")).count()
-        t_probe = time.time() - t0
-        t0 = time.time()
-        bloom_dups = n_maybe - flagged.where(F.col("__maybe")).select("url").join(
-            seen_big, "url", "left_anti"
-        ).count()
-        t_adjudicate = time.time() - t0
+        maybes = flagged.where(F.col("__maybe")).select("url")
+        t_adjudicate = min_of(lambda: maybes.join(seen_big, "url", "left_anti").count())
+        bloom_dups = n_maybe - maybes.join(seen_big, "url", "left_anti").count()
     finally:
         bl.BROADCAST_MAX_BITS = old_thresh
     assert bloom_dups == exact_dups, (bloom_dups, exact_dups)  # no false drops
@@ -214,6 +236,7 @@ def main() -> None:
         "bloom_exact_antijoin_sec": extras["bloom_exact_antijoin_sec"],
         "bloom_build_sec": extras["bloom_build_sec"],
         "url_canonicalize_expr_sec": extras["url_canonicalize_expr_sec"],
+        "bench_reps": REPS,
     }
     print(json.dumps(line))
     spark.stop()

@@ -77,10 +77,14 @@ class FrontierCrawler:
         self.use_bloom = use_bloom
         self.bloom_shards = bloom_shards
         # 'auto' flips the Bloom pre-filter on once the crawl matures past
-        # the measured break-even (bench: probe+amortized adjudication won
-        # 1.89x vs the exact anti-join at 20M seen / 50k candidates, i.e.
-        # ratio 400; thresholds are conservative and conf-overridable) and
-        # keeps it on — the build cost is amortized by incremental merges.
+        # the measured break-even and keeps it on (build cost amortized by
+        # incremental merges). Break-even re-derived from min-of-3 warm legs
+        # (r4): probe+amortized-adjudication LOSES below ~20M seen (0.53x
+        # at 5M/100k, 0.80x at 1M/100k) and wins 1.5-3.2x at 20M seen /
+        # 50k candidates (ratio 400) — the probe cost is ~flat in |seen|
+        # while the exact anti-join reshuffles the whole seen side, so the
+        # advantage GROWS with crawl maturity (the 10^10-URL design point).
+        # Thresholds sit at the measured crossover and are conf-overridable.
         self._bloom_active = use_bloom is True
 
     def _bloom_this_wave(self, seen_count: int, frontier_size: int | None) -> bool:
@@ -90,8 +94,8 @@ class FrontierCrawler:
             return False
         if self._bloom_active:
             return True
-        min_seen = int(self.spark.conf.get("xidel.crawl.bloomAutoMinSeen", "5000000"))
-        min_ratio = int(self.spark.conf.get("xidel.crawl.bloomAutoMinRatio", "50"))
+        min_seen = int(self.spark.conf.get("xidel.crawl.bloomAutoMinSeen", "20000000"))
+        min_ratio = int(self.spark.conf.get("xidel.crawl.bloomAutoMinRatio", "200"))
         if seen_count >= min_seen and seen_count >= min_ratio * max(frontier_size or 1, 1):
             self._bloom_active = True
         return self._bloom_active
