@@ -400,6 +400,13 @@ def literal_nodes(markup: str) -> tuple[Column, list[int]]:
     parsed = _parse_xml_py(markup)
     if parsed is None:
         parsed = _parse_auto_py(markup) or []
+    return nodes_literal_column(parsed)
+
+
+def nodes_literal_column(parsed: list[dict]) -> tuple[Column, list[int]]:
+    """already-parsed node dicts → (constant node-array column, root ids).
+    Shared by literal_nodes and the golden harness (which parses driver-
+    side per --input-format and evaluates on spark.range(1))."""
     structs = []
     for n in parsed:
         attrs = n.get("attrs") or {}

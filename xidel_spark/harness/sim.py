@@ -1,0 +1,740 @@
+"""Replay a reference CLI invocation through the Spark engine.
+
+Mirrors the reference's processing model (xidelbase.pas):
+
+- context building: sibling creation on data-after-actions (3349-3378),
+  `-f` chaining a followTo context (3365-3370), `[ ]` push/pop with the
+  datasource-vs-action closing rule (3425-3451), the trailing-follow
+  recursion fixup and the `-e query data...` wrap-around (3826-3855),
+  fictive datasources (1932-1960).
+- processing: per-doc action suffixes, follow resolution + the global
+  duplication list (TFollowToList.add), recursion-level caps
+  (TProcessingContext.process, 1996-2140).
+- printing: actions containing variable definitions print the change-log
+  entries ('name := value'); plain expressions print value items and set
+  $result (2560-2600); adhoc name-prefix rule per extraction group
+  (printExtractedVariables, 2641-2704).
+
+Every expression/selector/capture evaluates through compile_expr /
+compile_css as Catalyst columns over spark.range(1) with the document
+bound as a constant node-array literal (extract/nodes.nodes_literal_column)
+— the same compilation path the distributed operators use; the harness
+only orchestrates single documents the way the CLI does.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+import re
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from ..exprlang import compile_expr
+from ..exprlang.parser import detect_kind
+from ..extract.css import compile_css
+from ..extract.nodes import (
+    _parse_auto_py,
+    _parse_html_py,
+    _parse_xml_py,
+    nodes_literal_column,
+)
+from .template import match_template
+
+
+class Skip(Exception):
+    """case uses a surface the harness does not simulate (reason in args)."""
+
+
+# ---------------------------------------------------------------------------
+# argv model
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Extraction:
+    expr: str
+    kind: str  # auto | xpath | css | xquery | pattern
+
+
+@dataclass
+class Source:
+    value: str  # literal markup, file path, or '-'
+    input_format: str | None = None
+
+
+class PC:
+    """processing context (TProcessingContext)."""
+
+    def __init__(self, parent: "PC | None" = None):
+        self.parent = parent
+        self.data: list = []  # Source | PC
+        self.actions: list = []  # Extraction | PC
+        self.follow: str | None = None
+        self.followTo: "PC | None" = None  # may be self (recursion)
+        self.nextSibling: "PC | None" = None
+        self.yield_to_parent = False
+
+    def last(self) -> "PC":
+        if self.nextSibling is not None:
+            return self.nextSibling.last()
+        if self.followTo is not None and self.followTo is not self:
+            return self.followTo.last()
+        return self
+
+
+_KIND_OPTS = {
+    "--xpath": "xpath", "--xpath2": "xpath", "--xpath3": "xpath",
+    "--xpath3.0": "xpath", "--xpath3.1": "xpath",
+    "--css": "css",
+    "--xquery": "xquery", "--xquery1": "xquery", "--xquery3": "xquery",
+    "--xquery3.0": "xquery", "--xquery3.1": "xquery",
+}
+
+_VALUE_OPTS = {
+    "--output-format", "--output-separator", "--output-header",
+    "--output-footer", "--output-declaration", "--output-encoding",
+    "--printed-node-format", "--output-node-format", "--printed-json-format",
+    "--input-format", "--json-mode", "--variable", "--follow-level",
+    "--module", "--module-path", "--default-variable-name",
+}
+_FLAG_OPTS = {
+    "--hide-variable-names", "--allow-repetitions", "--print-type-annotations",
+    "--output-node-indent", "--ignore-namespaces", "--strict-type-checking",
+    "--no-json-literals", "--disable-no-extended-json", "--silent",
+    "--deprecated-string-options",
+}
+_SKIP_OPTS = {
+    "--download", "--post", "--method", "--header", "--form", "--user-agent",
+    "--proxy", "--error-handling", "--wait", "--compressed", "--template-file",
+    "--print-received-headers", "--load-cookies", "--save-cookies",
+}
+
+
+class Sim:
+    def __init__(self, spark, ref_root: str | Path, argv: list[str],
+                 stdin: str | None = None, env: dict[str, str] | None = None):
+        self.spark = spark
+        self.ref_root = Path(ref_root)
+        self.argv = list(argv)
+        self.stdin = stdin
+        self.osenv = env or {}
+        self.opts: dict[str, object] = {}
+        self.vars: dict[str, tuple[str, object]] = {}  # name -> (shape, value)
+        self.result: tuple[str, object] | None = None
+        self.seen: set[str] = set()
+        self.groups: list[dict] = []  # {'doc': i, 'entries': [(name, [vals])]}
+        self.doc_counter = 0
+        self.magic: dict[str, str] = {}
+        self.modules_loaded: list[str] = []
+
+    # -- option handling -----------------------------------------------------
+
+    def _opt(self, name, default=None):
+        return self.opts.get(name, default)
+
+    # -- context building ----------------------------------------------------
+
+    def build(self) -> PC:
+        base = PC()
+        cur = base
+        stack: list[tuple[PC, PC]] = []  # (saved current, bracket base)
+        toks = self.argv
+        i = 0
+        pending_input_format: str | None = self._opt("input-format")
+
+        def add_action(expr: str, kind: str):
+            cur.actions.append(Extraction(expr, kind))
+
+        while i < len(toks):
+            t = toks[i]
+            i += 1
+            if t == "[":
+                nb = PC()
+                stack.append((cur, nb))
+                cur = nb
+                continue
+            if t == "]":
+                if not stack:
+                    raise Skip("unbalanced ]")
+                outer, bbase = stack.pop()
+                cond_ds = (
+                    (cur is bbase and not cur.actions and cur.data)
+                    or (cur.parent is not None and cur.parent.followTo is cur
+                        and not cur.actions and bbase.data)
+                )
+                if cond_ds:
+                    outer.data.append(bbase)
+                    bbase.parent = outer
+                    if cur.parent is not None and cur.parent.followTo is cur:
+                        cur.parent.followTo = None
+                else:
+                    outer.actions.append(bbase)
+                    bbase.parent = outer
+                cur = outer
+                continue
+            name, eq, val = t.partition("=") if t.startswith("--") else (t, "", "")
+            if name in ("-e", "--extract", "--extract-file") or name in _KIND_OPTS or t == "-e":
+                opt = name if name.startswith("-") else t
+                if eq:
+                    expr = val
+                else:
+                    if i >= len(toks):
+                        raise Skip(f"missing arg for {t}")
+                    expr = toks[i]
+                    i += 1
+                if opt == "--extract-file":
+                    p = self.ref_root / expr
+                    if not p.exists():
+                        raise Skip(f"extract-file {expr}")
+                    expr = p.read_text()
+                add_action(expr, _KIND_OPTS.get(opt, "auto"))
+                continue
+            if t in ("-f", "--follow") or name == "--follow":
+                if eq:
+                    sel = val
+                else:
+                    if i >= len(toks):
+                        raise Skip("missing arg for -f")
+                    sel = toks[i]
+                    i += 1
+                if cur.actions and isinstance(cur.actions[-1], PC):
+                    cur.actions[-1].last().yield_to_parent = True
+                cur.follow = sel
+                nxt = PC(parent=cur)
+                cur.followTo = nxt
+                cur = nxt
+                continue
+            if t in ("--xml", "--html"):
+                fmt = t[2:]
+                pending_input_format = fmt
+                self.opts["input-format"] = fmt
+                self.opts["output-format"] = fmt
+                continue
+            if name in _SKIP_OPTS or t in _SKIP_OPTS:
+                raise Skip(f"option {name or t}")
+            if name in _FLAG_OPTS or t in _FLAG_OPTS:
+                if eq:
+                    self.opts[name[2:]] = val not in ("false", "0")
+                else:
+                    self.opts[t[2:]] = True
+                continue
+            if name in _VALUE_OPTS or t in _VALUE_OPTS:
+                if eq:
+                    v = val
+                else:
+                    if i >= len(toks):
+                        raise Skip(f"missing arg for {t}")
+                    v = toks[i]
+                    i += 1
+                key = (name or t)[2:]
+                if key == "input-format":
+                    pending_input_format = v
+                    self.opts["input-format"] = v
+                elif key == "variable":
+                    self._import_variables(v)
+                elif key == "module":
+                    self._load_module_arg(v)
+                elif key == "module-path":
+                    self.opts.setdefault("module-path", []).append(v)  # type: ignore[union-attr]
+                else:
+                    self.opts[key] = v
+                continue
+            if t.startswith("--"):
+                raise Skip(f"option {t}")
+            # data source
+            if t.startswith(("http://", "https://", "ftp://")):
+                raise Skip("online fetch")
+            if (cur.parent is not None and cur.parent.followTo is cur) or cur.actions:
+                sib = PC(parent=cur.parent)
+                cur.nextSibling = sib
+                cur = sib
+            cur.data.append(Source(t, pending_input_format))
+
+        # trailing-follow recursion fixup (xidelbase.pas:3829-3841)
+        if cur.parent is not None and not cur.actions and not cur.data:
+            p = cur.parent
+            cur.follow = p.follow
+            cur.followTo = cur
+            cur.actions = list(p.actions)
+
+        # '-e query data...' wrap-around (3843-3855)
+        if (cur.parent is None and base.nextSibling is cur and not base.data
+                and not cur.actions and cur.follow is None):
+            cur.actions = base.actions
+            base.actions = []
+            base.nextSibling = None
+            base = cur
+
+        self._insert_fictive(base, can_use_stdin=self.stdin is not None)
+        return base
+
+    def _insert_fictive(self, pc: PC, can_use_stdin: bool):
+        """xidelbase.pas:1932-1960 — a context with actions but no data gets
+        stdin (base only) or '<empty/>'; contexts whose actions are all
+        subcontexts delegate downward."""
+        if not pc.data and pc.actions:
+            if any(not isinstance(a, PC) for a in pc.actions):
+                pc.data.append(Source("-" if can_use_stdin else "<empty/>", None))
+            else:
+                for a in pc.actions:
+                    self._insert_fictive(a, False)
+
+    def _import_variables(self, spec: str):
+        for part in spec.split(","):
+            if "=" in part:
+                k, v = part.split("=", 1)
+            else:
+                k, v = part, self.osenv.get(part, "")
+            self.vars[k] = ("string", v)
+
+    def _load_module_arg(self, spec: str):
+        raise Skip("--module")  # replaced when module support lands
+
+    # -- document retrieval --------------------------------------------------
+
+    def _resolve_path(self, ref: str, base_url: str | None) -> str:
+        if base_url and "/" in base_url and not ref.startswith("/"):
+            cand = posixpath.normpath(posixpath.join(posixpath.dirname(base_url), ref))
+        else:
+            cand = ref
+        return cand
+
+    def _retrieve(self, src, level: int):
+        """Source|str ref → Doc dict or None."""
+        fmt = None
+        base = None
+        if isinstance(src, Source):
+            ref, fmt = src.value, src.input_format
+        elif isinstance(src, tuple):  # (ref, base_url, fmt)
+            ref, base, fmt = src
+        else:
+            ref = src
+        if ref == "-":
+            if self.stdin is None:
+                raise Skip("stdin requested, none provided")
+            return self._mkdoc("-", self.stdin, level, fmt)
+        if ref.lstrip().startswith("<"):
+            return self._mkdoc("", ref, level, fmt)
+        if ref.startswith(("http://", "https://", "ftp://")):
+            raise Skip("online fetch")
+        path = self._resolve_path(ref, base)
+        p = self.ref_root / path
+        if not p.exists():
+            return None
+        return self._mkdoc(path, p.read_text(), level, fmt)
+
+    def _mkdoc(self, url: str, markup: str, level: int, fmt: str | None):
+        fmt = fmt or self._opt("input-format") or "auto"
+        if fmt in ("json", "json-strict") or markup.lstrip()[:1] in ("{", "["):
+            raise Skip("json input")
+        if fmt in ("auto",):
+            nodes = _parse_auto_py(markup)
+        elif fmt in ("xml", "xml-strict"):
+            nodes = _parse_xml_py(markup)
+            if nodes is None and fmt == "xml":
+                nodes = _parse_auto_py(markup)
+        elif fmt == "html":
+            nodes = _parse_html_py(markup)
+        else:
+            raise Skip(f"input-format {fmt}")
+        if nodes is None:
+            nodes = []
+        return {"url": url, "markup": markup, "level": level, "nodes": nodes}
+
+    # -- processing ----------------------------------------------------------
+
+    def run(self) -> str:
+        base = self.build()
+        self.process(base, None)
+        return self._finish()
+
+    def _identity(self, ref) -> str | None:
+        if isinstance(ref, Source):
+            # '<empty/>' placeholders and stdin never compare equal
+            # (TDirectDataRequest/TStdinDataRequest.equalTo)
+            if ref.value in ("<empty/>", "-"):
+                return None
+            return ref.value
+        if isinstance(ref, tuple):
+            if ref and ref[0] == "__doc__":
+                return None  # already-processed data yielded upward: never deduped
+            return self._resolve_path(ref[0], ref[1])
+        return str(ref)
+
+    def _dup(self, ref) -> bool:
+        if self._opt("allow-repetitions"):
+            return False
+        key = self._identity(ref)
+        if key is None:
+            return False
+        if key in self.seen:
+            return True
+        self.seen.add(key)
+        return False
+
+    @property
+    def follow_max(self) -> float:
+        v = self._opt("follow-level")
+        return float(v) if v is not None else float("inf")
+
+    def process(self, pc: PC, doc) -> list:
+        res: list = []
+        next_q: list[tuple[object, int]] = []
+
+        def sub(d, skip=0):
+            if d is None:
+                return
+            if pc.yield_to_parent:
+                res.append(("__doc__", d))
+            self._set_magic(d)
+            for ai in range(skip, len(pc.actions)):
+                act = pc.actions[ai]
+                if isinstance(act, PC):
+                    # yields were dedup-listed when first added (merge does
+                    # not re-dedup — TFollowToList.merge, xidelbase:1464)
+                    for y in self.process(act, d):
+                        next_q.append((y, ai + 1))
+                else:
+                    self._set_magic(d)
+                    self.eval_action(act, d)
+            if pc.follow is not None:
+                # dedup ONCE, at first entry into the follow list
+                followed = [fr for fr in self.eval_follow(pc.follow, d)
+                            if not self._dup(fr)]
+                if pc.followTo is not None:
+                    if d["level"] + 1 <= self.follow_max:
+                        for fr in followed:
+                            nd = self._retrieve(fr, d["level"] + 1)
+                            if nd is not None:
+                                self.process(pc.followTo, nd)
+                else:
+                    res.extend(followed)
+
+        if doc is not None:
+            sub(doc)
+        for ds in pc.data:
+            if isinstance(ds, PC):
+                for y in self.process(ds, None):
+                    next_q.append((y, 0))
+            else:
+                if not self._dup(ds):
+                    next_q.append((ds, 0))
+        if not pc.actions and pc.follow is None:
+            out = [q[0] for q in next_q] + res
+            if pc.nextSibling is not None:
+                out += self.process(pc.nextSibling, None)
+            return out
+        if doc is None and not pc.data and pc.actions:
+            for ai, act in enumerate(pc.actions):
+                if isinstance(act, PC):
+                    for y in self.process(act, None):
+                        next_q.append((y, ai + 1))
+        cur_level = doc["level"] + 1 if doc is not None else 0
+        while next_q:
+            ref, na = next_q.pop(0)
+            if cur_level <= self.follow_max:
+                if isinstance(ref, tuple) and ref and ref[0] == "__doc__":
+                    sub(ref[1], na)
+                else:
+                    sub(self._retrieve(ref, cur_level if doc is not None else 0), na)
+        if pc.nextSibling is not None:
+            res += self.process(pc.nextSibling, None)
+        return res
+
+    def _set_magic(self, d):
+        url = d["url"]
+        self.magic = {
+            "url": url,
+            "host": "",
+            "path": url if url.startswith("/") else "",
+            "raw": d["markup"],
+        }
+
+    # -- evaluation ----------------------------------------------------------
+
+    _ENTITIES = {"lt": "<", "gt": ">", "amp": "&", "quot": '"', "apos": "'"}
+
+    def _decode_entities(self, s: str) -> str:
+        def rep(m):
+            b = m.group(1)
+            if b in self._ENTITIES:
+                return self._ENTITIES[b]
+            if b.startswith("#x") or b.startswith("#X"):
+                return chr(int(b[2:], 16))
+            if b.startswith("#"):
+                return chr(int(b[1:]))
+            return m.group(0)
+
+        return re.sub(r"&(#?[xX]?[0-9a-zA-Z]+);", rep, s)
+
+    def _env(self):
+        from ..exprlang.compiler import TV
+
+        env = {}
+        for name, (shape, value) in self.vars.items():
+            env[name] = self._tv_of(shape, value)
+        for name, value in self.magic.items():
+            env[name] = TV(F.lit(value), "string")
+        if self.result is not None:
+            env["result"] = self._tv_of(*self.result)
+        return env
+
+    def _tv_of(self, shape, value):
+        from ..exprlang.compiler import TV
+
+        if shape == "seq":
+            return TV(
+                F.array(*[F.lit(v) for v in value]).cast("array<string>"),
+                "seq:string",
+            )
+        return TV(F.lit(value), "string")
+
+    def eval_action(self, act: Extraction, d):
+        kind = act.kind
+        if kind == "auto":
+            kind = detect_kind(act.expr)
+            if kind == "xpath":
+                kind = "xquery"  # -e strings decode entities like xquery
+        if kind == "pattern":
+            self._eval_pattern(act.expr, d)
+        elif kind == "css":
+            self._eval_css(act.expr, d)
+        else:
+            src = act.expr
+            if kind == "xquery":
+                src = self._decode_entities(src)
+            self._eval_expr(src, d)
+
+    def _nodes_col(self, d):
+        col, _roots = nodes_literal_column(d["nodes"])
+        return col
+
+    def _emit(self, entries: list[tuple[str, list[str]]]):
+        self.groups.append({"doc": self.doc_counter, "entries": entries})
+
+    def _eval_expr(self, src: str, d):
+        from ..exprlang.compiler import Compiler, TV, _empty_seq
+
+        try:
+            ce = compile_expr(src)
+        except Exception as e:
+            raise Skip(f"parse: {e}") from None
+        nodes = self._nodes_col(d)
+        env = self._env()
+        c = Compiler(env=ce._env_with_docs(env), nodes=nodes, funcs=ce._funcs)
+        try:
+            tv = c.compile(ce.ast)
+        except Exception as e:
+            raise Skip(f"compile: {e}") from None
+
+        def printed(v):
+            if v.is_seq:
+                seq = c.atomize_seq(v)
+                if seq.elem_kind != "string":
+                    return F.transform(seq.col, lambda x: c.to_string(TV(x, seq.elem_kind)))
+                return seq.col
+            if v.kind == "nodes" and self._opt("printed-node-format") == "xml":
+                return self._nodes_as_xml(c, v, nodes)
+            s = c.to_string(v)
+            return F.when(s.isNull(), _empty_seq("string")).otherwise(F.array(s))
+
+        cols = [printed(tv).alias("r")]
+        for j, (name, v) in enumerate(c.assignments):
+            cols.append(printed(v).alias(f"a{j}"))
+        try:
+            row = self.spark.range(1).select(*cols).first()
+        except Exception as e:
+            raise Skip(f"eval: {type(e).__name__}: {str(e)[:120]}") from None
+        if c.assignments:
+            entries = []
+            for j, (name, v) in enumerate(c.assignments):
+                vals = list(row[f"a{j}"] or [])
+                entries.append((name, vals))
+                self.vars[name] = ("seq", vals) if len(vals) != 1 else ("string", vals[0])
+            self._emit(entries)
+        else:
+            vals = list(row["r"] or [])
+            self._emit([("result", vals)])
+            self.result = ("seq", vals) if len(vals) != 1 else ("string", vals[0])
+
+    def _nodes_as_xml(self, c, tv, nodes):
+        from ..extract.nodes import outer_xml_expr
+
+        return F.transform(tv.col, lambda i: outer_xml_expr(nodes, i))
+
+    def _eval_css(self, sel: str, d):
+        try:
+            cx = compile_css(sel)
+        except Exception as e:
+            raise Skip(f"css: {e}") from None
+        nodes = self._nodes_col(d)
+        if self._opt("printed-node-format") == "xml":
+            from ..extract.nodes import outer_xml_expr
+
+            col = F.transform(cx.ids(nodes), lambda i: outer_xml_expr(nodes, i))
+        else:
+            col = cx.values(nodes)
+        row = self.spark.range(1).select(col.alias("r")).first()
+        vals = [v for v in (row["r"] or []) if v is not None]
+        self._emit([("result", vals)])
+        self.result = ("seq", vals) if len(vals) != 1 else ("string", vals[0])
+
+    def _eval_pattern(self, tmpl: str, d):
+        try:
+            caps = match_template(tmpl, d["nodes"])
+        except ValueError as e:
+            raise Skip(str(e)) from None
+        if caps is None:
+            self._emit([])
+            return
+        entries = []
+        for name, expr, node_id in caps:
+            vals = self._eval_capture(expr, d, node_id)
+            nm = name or "result"
+            entries.append((nm, vals))
+            if name:
+                self.vars[name] = ("seq", vals) if len(vals) != 1 else ("string", vals[0])
+        self._emit(entries)
+
+    def _eval_capture(self, expr: str, d, node_id: int) -> list[str]:
+        from ..exprlang.compiler import Compiler, TV, _empty_seq
+
+        try:
+            ce = compile_expr(self._decode_entities(expr))
+        except Exception as e:
+            raise Skip(f"capture parse: {e}") from None
+        nodes = self._nodes_col(d)
+        ctx = TV(F.array(F.lit(node_id).cast("int")), "nodes")
+        env = self._env()
+        c = Compiler(env=ce._env_with_docs(env), nodes=nodes, ctx=ctx, funcs=ce._funcs)
+        try:
+            tv = c.compile(ce.ast)
+            if tv.is_seq:
+                seq = c.atomize_seq(tv)
+                col = (
+                    F.transform(seq.col, lambda x: c.to_string(TV(x, seq.elem_kind)))
+                    if seq.elem_kind != "string"
+                    else seq.col
+                )
+            else:
+                s = c.to_string(tv)
+                col = F.when(s.isNull(), _empty_seq("string")).otherwise(F.array(s))
+            row = self.spark.range(1).select(col.alias("r")).first()
+        except Exception as e:
+            raise Skip(f"capture eval: {str(e)[:120]}") from None
+        return list(row["r"] or [])
+
+    # -- follow evaluation ---------------------------------------------------
+
+    def eval_follow(self, sel: str, d) -> list:
+        kind = detect_kind(sel)
+        if kind == "pattern":
+            raise Skip("pattern follow")
+        base_url = d["url"]
+        if kind == "css":
+            cx = compile_css(sel)
+            nodes = self._nodes_col(d)
+            row = self.spark.range(1).select(cx.ids(nodes).alias("r")).first()
+            ids = list(row["r"] or [])
+            return [
+                (h, base_url, None)
+                for h in (self._href_of(d, i) for i in ids)
+                if h
+            ]
+        from ..exprlang.compiler import Compiler, TV
+
+        try:
+            ce = compile_expr(self._decode_entities(sel))
+        except Exception as e:
+            raise Skip(f"follow parse: {e}") from None
+        nodes = self._nodes_col(d)
+        env = self._env()
+        c = Compiler(env=ce._env_with_docs(env), nodes=nodes, funcs=ce._funcs)
+        try:
+            tv = c.compile(ce.ast)
+        except Exception as e:
+            raise Skip(f"follow compile: {e}") from None
+        if tv.kind == "nodes":
+            row = self.spark.range(1).select(tv.col.alias("r")).first()
+            ids = list(row["r"] or [])
+            return [
+                (h, base_url, None)
+                for h in (self._href_of(d, i) for i in ids)
+                if h
+            ]
+        # string / sequence results: treat items as addresses or request objects
+        if tv.is_seq:
+            seq = c.atomize_seq(tv)
+            col = F.transform(seq.col, lambda x: c.to_string(TV(x, seq.elem_kind))) \
+                if seq.elem_kind != "string" else seq.col
+        else:
+            col = F.array(c.to_string(tv))
+        row = self.spark.range(1).select(col.alias("r")).first()
+        out = []
+        for v in row["r"] or []:
+            if v is None:
+                continue
+            v = v.strip()
+            if v.startswith("{"):
+                try:
+                    obj = json.loads(v)
+                except json.JSONDecodeError:
+                    raise Skip("follow object") from None
+                ref = obj.get("data") or obj.get("url")
+                if ref is None or str(ref).startswith("http"):
+                    raise Skip("follow object online")
+                out.append((str(ref), base_url, obj.get("input-format")))
+            elif v:
+                out.append((v, base_url, None))
+        return out
+
+    def _href_of(self, d, node_id: int) -> str | None:
+        n = d["nodes"][node_id]
+        attrs = n.get("attrs") or {}
+        return attrs.get("href") or attrs.get("src") or (n.get("text") or "").strip() or None
+
+    # -- output assembly -----------------------------------------------------
+
+    def _finish(self) -> str:
+        fmt = self._opt("output-format", "adhoc")
+        if self._opt("print-type-annotations"):
+            raise Skip("print-type-annotations")
+        hide = bool(self._opt("hide-variable-names"))
+        if fmt in ("adhoc",):
+            items = self._adhoc_items(hide)
+            from ..io.golden_output import serialize_document
+
+            return serialize_document(
+                [(None, line) for line in items],
+                fmt="adhoc",
+                separator=self._opt("output-separator"),
+                header=self._opt("output-header"),
+                footer=self._opt("output-footer"),
+                declaration=self._opt("output-declaration"),
+                encoding=self._opt("output-encoding", "UTF-8"),
+            ) if items else ""
+        raise Skip(f"output-format {fmt}")
+
+    def _adhoc_items(self, hide: bool) -> list[str]:
+        lines: list[str] = []
+        for g in self.groups:
+            names = {n for n, _ in g["entries"]}
+            plain = hide or names <= {"result"}
+            for name, vals in g["entries"]:
+                if plain:
+                    lines.extend(vals)
+                elif vals:
+                    lines.append(f"{name} := {vals[0]}")
+                    lines.extend(vals[1:])
+        return lines
+
+
+def run_case(spark, case, ref_root: str | Path = "/root/reference") -> str:
+    """case → produced stdout text (raises Skip when unsupported)."""
+    ref_root = Path(ref_root)
+    stdin = case.resolve_stdin(ref_root / "tests")
+    sim = Sim(spark, ref_root, case.argv, stdin=stdin, env=case.env)
+    return sim.run()
