@@ -172,6 +172,13 @@ class Compiler:
                 F.when(F.isnan(c), F.lit("NaN"))
                 .when(c == F.lit(float("inf")), F.lit("INF"))
                 .when(c == F.lit(float("-inf")), F.lit("-INF"))
+                # IEEE negative zero prints as '-0' (reference goldens
+                # division/multiplication matrices); CAST(-0.0 AS STRING)
+                # is the only Catalyst form that still sees the sign
+                .when(
+                    (c == F.lit(0.0)) & c.cast("string").startswith("-"),
+                    F.lit("-0"),
+                )
                 .when(
                     (c == F.floor(c)) & (F.abs(c) < F.lit(1e15)),
                     c.cast("long").cast("string"),
@@ -421,10 +428,18 @@ class Compiler:
         if op == "div":
             # XPath double division: x div 0 = ±INF, 0 div 0 = NaN — ANSI
             # Spark raises DIVIDE_BY_ZERO instead, so branch explicitly
-            # (CaseWhen evaluates per-row lazily, the a/b arm never sees 0)
-            zero = F.when(a > 0, F.lit(float("inf"))).when(
-                a < 0, F.lit(float("-inf"))
-            ).when(a == 0, F.lit(float("nan")))
+            # (CaseWhen evaluates per-row lazily, the a/b arm never sees 0).
+            # The INF sign respects the ZERO's sign too: 1 div -0 = -INF
+            # (reference division matrix golden).
+            neg_b = b.cast("string").startswith("-")
+            inf, ninf = F.lit(float("inf")), F.lit(float("-inf"))
+            zero = (
+                # Spark sorts NaN above every value (NaN > 0 is TRUE), so
+                # the NaN guard must come first
+                F.when(F.isnan(a) | (a == 0), F.lit(float("nan")))
+                .when(a > 0, F.when(neg_b, ninf).otherwise(inf))
+                .when(a < 0, F.when(neg_b, inf).otherwise(ninf))
+            )
             return TV(F.when(b == 0, zero).otherwise(a / b), "double")
         if op == "idiv":
             return TV(F.when(b != 0, a / b).cast("long"), "long")

@@ -128,7 +128,9 @@ class Sim:
         self.groups: list[dict] = []  # {'doc': i, 'entries': [(name, [vals])]}
         self.doc_counter = 0
         self.magic: dict[str, str] = {}
-        self.modules_loaded: list[str] = []
+        self.funcs: dict = {}  # declared/imported functions, persist across -e
+        self.modules: dict[str, tuple] = {}  # resolved path -> (prefix, uri, funcs)
+        self.modules_by_uri: dict[str, str] = {}
 
     # -- option handling -----------------------------------------------------
 
@@ -290,8 +292,133 @@ class Sim:
                 k, v = part, self.osenv.get(part, "")
             self.vars[k] = ("string", v)
 
+    # -- modules (--module / import module ... at; tests/module.xq shape) ----
+
+    _MODULE_HDR = re.compile(r'\s*(?:xquery[^;]*;\s*)?module\s+namespace\s+([\w-]+)\s*=\s*"([^"]*)"\s*;')
+    _IMPORT = re.compile(
+        r'import\s+module\s+(?:namespace\s+([\w-]+)\s*=\s*)?"([^"]*)"'
+        r'(?:\s+at\s+"([^"]*)")?\s*;'
+    )
+    _DECL_VAR = re.compile(
+        r"declare\s+variable\s+\$([\w.-]+(?::[\w.-]+)?)\s*"
+        r"(?:as\s+[\w:?*+()-]+\s*)?(external|:=)"
+    )
+
     def _load_module_arg(self, spec: str):
-        raise Skip("--module")  # replaced when module support lands
+        if "=" in spec:
+            pfx, path = spec.split("=", 1)
+        else:
+            pfx, path = None, spec
+        self._load_module(path, pfx)
+
+    def _find_module_file(self, ref: str, base_dir: Path | None = None) -> Path | None:
+        bases = [self.ref_root]
+        if base_dir is not None:
+            bases.insert(0, base_dir)
+        for mp in self._opt("module-path", []) or []:
+            bases.append(self.ref_root / mp)
+        for b in bases:
+            p = b / ref
+            if p.exists():
+                return p
+        return None
+
+    def _load_module(self, path: str, import_prefix: str | None = None,
+                     base_dir: Path | None = None):
+        p = self._find_module_file(path, base_dir)
+        if p is None:
+            raise Skip(f"module file {path}")
+        key = str(p.resolve())
+        if key not in self.modules:
+            src = p.read_text()
+            hdr = self._MODULE_HDR.match(src)
+            if hdr is None:
+                raise Skip(f"module header in {path}")
+            mpfx, uri = hdr.group(1), hdr.group(2)
+            body = src[hdr.end():]
+            body = self._hoist_imports(body, base_dir=p.parent)
+            body = self._hoist_var_declares(body, None)
+            # remaining function declares parse through the expression
+            # compiler's prolog handling; '()' is a throwaway body
+            try:
+                ce = compile_expr(body + " ()")
+            except Exception as e:
+                raise Skip(f"module parse {path}: {e}") from None
+            self.funcs.update(ce._funcs)
+            self.modules[key] = (mpfx, uri, dict(ce._funcs))
+            self.modules_by_uri[uri] = key
+        mpfx, uri, funcs = self.modules[key]
+        if import_prefix and import_prefix != mpfx:
+            for qname, decl in funcs.items():
+                local = qname.split(":", 1)[-1]
+                self.funcs[f"{import_prefix}:{local}"] = decl
+            for vname in list(self.vars):
+                if vname.startswith(mpfx + ":"):
+                    self.vars[f"{import_prefix}:{vname.split(':', 1)[1]}"] = self.vars[vname]
+
+    def _hoist_imports(self, src: str, base_dir: Path | None = None) -> str:
+        def rep(m):
+            pfx, uri, at = m.group(1), m.group(2), m.group(3)
+            if at:
+                self._load_module(at, pfx, base_dir)
+            elif uri in self.modules_by_uri:
+                mpfx, _u, _f = self.modules[self.modules_by_uri[uri]]
+                if pfx and pfx != mpfx:
+                    self._load_module_alias(uri, pfx)
+            else:
+                raise Skip(f"import module {uri} without location")
+            return ""
+
+        return self._IMPORT.sub(rep, src)
+
+    def _load_module_alias(self, uri: str, pfx: str):
+        key = self.modules_by_uri[uri]
+        mpfx, _uri, funcs = self.modules[key]
+        for qname, decl in funcs.items():
+            self.funcs[f"{pfx}:{qname.split(':', 1)[-1]}"] = decl
+
+    def _hoist_var_declares(self, src: str, d) -> str:
+        """evaluate `declare variable` prologs so they persist across -e
+        actions (golden moduleVars) and across module loads; 'external'
+        declares read the OS environment (golden varenviron3) and are
+        stripped from the source."""
+        out = src
+        for m in list(self._DECL_VAR.finditer(src)):
+            name, tail = m.group(1), m.group(2)
+            if tail == "external":
+                self.vars[name] = ("string", self.osenv.get(name.split(":")[-1], ""))
+                semi = src.find(";", m.end())
+                out = out.replace(src[m.start():semi + 1], "", 1)
+            else:
+                semi = src.find(";", m.end())
+                if semi < 0:
+                    continue
+                value_expr = src[m.end():semi]
+                try:
+                    self.vars[name] = self._eval_value(value_expr, d)
+                except Skip:
+                    continue
+        return out
+
+    def _eval_value(self, expr: str, d) -> tuple[str, object]:
+        from ..exprlang.compiler import Compiler
+
+        try:
+            ce = compile_expr(expr)
+        except Exception as e:
+            raise Skip(f"declare-value parse: {e}") from None
+        nodes = self._nodes_col(d) if d is not None else None
+        env = self._env()
+        c = Compiler(env=ce._env_with_docs(env), nodes=nodes,
+                     funcs={**self.funcs, **ce._funcs})
+        try:
+            tv = c.compile(ce.ast)
+            col, _k = self._printed(c, tv, nodes)
+            row = self.spark.range(1).select(col.alias("r")).first()
+        except Exception as e:
+            raise Skip(f"declare-value eval: {str(e)[:120]}") from None
+        vals = list(row["r"] or [])
+        return ("seq", vals) if len(vals) != 1 else ("string", vals[0])
 
     # -- document retrieval --------------------------------------------------
 
@@ -330,19 +457,25 @@ class Sim:
         fmt = fmt or self._opt("input-format") or "auto"
         if fmt in ("json", "json-strict") or markup.lstrip()[:1] in ("{", "["):
             raise Skip("json input")
+        is_html = False
         if fmt in ("auto",):
             nodes = _parse_auto_py(markup)
+            is_html = bool(nodes) and any(
+                n["tag"] == "html" and n["parent"] == 0 for n in nodes
+            )
         elif fmt in ("xml", "xml-strict"):
             nodes = _parse_xml_py(markup)
             if nodes is None and fmt == "xml":
                 nodes = _parse_auto_py(markup)
         elif fmt == "html":
             nodes = _parse_html_py(markup)
+            is_html = True
         else:
             raise Skip(f"input-format {fmt}")
         if nodes is None:
             nodes = []
-        return {"url": url, "markup": markup, "level": level, "nodes": nodes}
+        return {"url": url, "markup": markup, "level": level, "nodes": nodes,
+                "html": is_html}
 
     # -- processing ----------------------------------------------------------
 
@@ -512,38 +645,82 @@ class Sim:
         col, _roots = nodes_literal_column(d["nodes"])
         return col
 
-    def _emit(self, entries: list[tuple[str, list[str]]]):
-        self.groups.append({"doc": self.doc_counter, "entries": entries})
+    def _emit(self, entries: list[tuple[str, list[str], str]], gkind: str = "value"):
+        """gkind 'vars' = change-log group (assignments / template captures:
+        wrapped formats render an <object>/{...}); 'value' = plain result."""
+        self.groups.append({"doc": self.doc_counter, "entries": entries, "kind": gkind})
+
+    def _pnf(self) -> str:
+        """effective printed-node-format: explicit option, else xml for the
+        raw xml/html output formats, text otherwise (xmlraw1 vs adhoc5)."""
+        pnf = self._opt("printed-node-format") or self._opt("output-node-format")
+        if pnf:
+            return pnf
+        return "xml" if self._opt("output-format") in ("xml", "html") else "text"
+
+    _EKIND = {"long": "num", "double": "num", "bool": "bool"}
+
+    def _printed(self, c, v, nodes):
+        """TV → (array<string> printed items, entry kind)."""
+        from ..exprlang.compiler import TV, _empty_seq
+
+        if v.kind == "nodes" and self._pnf() == "xml":
+            from ..extract.nodes import outer_xml_expr
+
+            # a document-literal node set serializes against its OWN backing
+            backing = v.backing if v.backing is not None else nodes
+            col = F.transform(v.col, lambda i: outer_xml_expr(backing, i))
+            if self._opt("output-format") == "html":
+                col = F.transform(col, lambda s: self._html_unclose(s))
+            return col, "node"
+        if v.is_seq:
+            seq = c.atomize_seq(v)
+            ekind = self._EKIND.get(seq.elem_kind, "str")
+            if seq.elem_kind != "string":
+                return F.transform(seq.col, lambda x: c.to_string(TV(x, seq.elem_kind))), ekind
+            return seq.col, ekind
+        s = c.to_string(v)
+        col = F.when(s.isNull(), _empty_seq("string")).otherwise(F.array(s))
+        return col, self._EKIND.get(v.kind, "str")
+
+    _VOID_TAGS = "br|img|input|hr|meta|link|area|base|col|embed|source|track|wbr"
+
+    @staticmethod
+    def _html_unclose(col):
+        """HTML serialization: non-void empties are <head></head>, never
+        self-closed (golden opthtml)."""
+        return F.regexp_replace(
+            col,
+            r"<(?!(?:" + Sim._VOID_TAGS + r")\b)(\w+)((?:\s[^>]*)?)/>",
+            r"<$1$2></$1>",
+        )
 
     def _eval_expr(self, src: str, d):
-        from ..exprlang.compiler import Compiler, TV, _empty_seq
+        from ..exprlang.compiler import Compiler
 
+        src = self._hoist_imports(src)
+        src = self._hoist_var_declares(src, d)
         try:
             ce = compile_expr(src)
         except Exception as e:
             raise Skip(f"parse: {e}") from None
+        self.funcs.update(ce._funcs)
         nodes = self._nodes_col(d)
         env = self._env()
-        c = Compiler(env=ce._env_with_docs(env), nodes=nodes, funcs=ce._funcs)
+        c = Compiler(env=ce._env_with_docs(env), nodes=nodes,
+                     funcs={**self.funcs, **ce._funcs})
         try:
             tv = c.compile(ce.ast)
         except Exception as e:
             raise Skip(f"compile: {e}") from None
 
-        def printed(v):
-            if v.is_seq:
-                seq = c.atomize_seq(v)
-                if seq.elem_kind != "string":
-                    return F.transform(seq.col, lambda x: c.to_string(TV(x, seq.elem_kind)))
-                return seq.col
-            if v.kind == "nodes" and self._opt("printed-node-format") == "xml":
-                return self._nodes_as_xml(c, v, nodes)
-            s = c.to_string(v)
-            return F.when(s.isNull(), _empty_seq("string")).otherwise(F.array(s))
-
-        cols = [printed(tv).alias("r")]
+        rcol, rkind = self._printed(c, tv, nodes)
+        cols = [rcol.alias("r")]
+        akinds = []
         for j, (name, v) in enumerate(c.assignments):
-            cols.append(printed(v).alias(f"a{j}"))
+            acol, akind = self._printed(c, v, nodes)
+            cols.append(acol.alias(f"a{j}"))
+            akinds.append(akind)
         try:
             row = self.spark.range(1).select(*cols).first()
         except Exception as e:
@@ -552,18 +729,13 @@ class Sim:
             entries = []
             for j, (name, v) in enumerate(c.assignments):
                 vals = list(row[f"a{j}"] or [])
-                entries.append((name, vals))
+                entries.append((name, vals, akinds[j]))
                 self.vars[name] = ("seq", vals) if len(vals) != 1 else ("string", vals[0])
-            self._emit(entries)
+            self._emit(entries, "vars")
         else:
             vals = list(row["r"] or [])
-            self._emit([("result", vals)])
+            self._emit([("result", vals, rkind)])
             self.result = ("seq", vals) if len(vals) != 1 else ("string", vals[0])
-
-    def _nodes_as_xml(self, c, tv, nodes):
-        from ..extract.nodes import outer_xml_expr
-
-        return F.transform(tv.col, lambda i: outer_xml_expr(nodes, i))
 
     def _eval_css(self, sel: str, d):
         try:
@@ -571,15 +743,17 @@ class Sim:
         except Exception as e:
             raise Skip(f"css: {e}") from None
         nodes = self._nodes_col(d)
-        if self._opt("printed-node-format") == "xml":
+        if self._pnf() == "xml":
             from ..extract.nodes import outer_xml_expr
 
             col = F.transform(cx.ids(nodes), lambda i: outer_xml_expr(nodes, i))
+            ekind = "node"
         else:
             col = cx.values(nodes)
+            ekind = "str"
         row = self.spark.range(1).select(col.alias("r")).first()
         vals = [v for v in (row["r"] or []) if v is not None]
-        self._emit([("result", vals)])
+        self._emit([("result", vals, ekind)])
         self.result = ("seq", vals) if len(vals) != 1 else ("string", vals[0])
 
     def _eval_pattern(self, tmpl: str, d):
@@ -592,18 +766,20 @@ class Sim:
             return
         entries = []
         for name, expr, node_id in caps:
-            vals = self._eval_capture(expr, d, node_id)
+            vals, ekind = self._eval_capture(expr, d, node_id)
             nm = name or "result"
-            entries.append((nm, vals))
+            entries.append((nm, vals, ekind))
             if name:
                 self.vars[name] = ("seq", vals) if len(vals) != 1 else ("string", vals[0])
-        self._emit(entries)
+        self._emit(entries, "vars")
 
-    def _eval_capture(self, expr: str, d, node_id: int) -> list[str]:
-        from ..exprlang.compiler import Compiler, TV, _empty_seq
+    def _eval_capture(self, expr: str, d, node_id: int) -> tuple[list[str], str]:
+        from ..exprlang.compiler import Compiler, TV
 
         try:
-            ce = compile_expr(self._decode_entities(expr))
+            # no entity decode here: the template's XML parse already
+            # decoded once (goldens regression_entity3a-d pin exactly one)
+            ce = compile_expr(expr)
         except Exception as e:
             raise Skip(f"capture parse: {e}") from None
         nodes = self._nodes_col(d)
@@ -612,24 +788,29 @@ class Sim:
         c = Compiler(env=ce._env_with_docs(env), nodes=nodes, ctx=ctx, funcs=ce._funcs)
         try:
             tv = c.compile(ce.ast)
-            if tv.is_seq:
-                seq = c.atomize_seq(tv)
-                col = (
-                    F.transform(seq.col, lambda x: c.to_string(TV(x, seq.elem_kind)))
-                    if seq.elem_kind != "string"
-                    else seq.col
-                )
-            else:
-                s = c.to_string(tv)
-                col = F.when(s.isNull(), _empty_seq("string")).otherwise(F.array(s))
+            col, ekind = self._printed(c, tv, nodes)
             row = self.spark.range(1).select(col.alias("r")).first()
         except Exception as e:
             raise Skip(f"capture eval: {str(e)[:120]}") from None
-        return list(row["r"] or [])
+        return list(row["r"] or []), ekind
 
     # -- follow evaluation ---------------------------------------------------
 
+    _SIMPLE_PATH = re.compile(r"\(?//?([A-Za-z][\w-]*)\)?(\[\d+\])?")
+
+    def _ci_selector(self, sel: str, d) -> str:
+        """HTML node tests are case-insensitive in the reference ('-f //A'
+        over lowercase-parsed HTML, golden maxlevel1); lowercase the tag of
+        simple path selectors when the document came through the HTML
+        parser. XML stays case-sensitive."""
+        if d.get("html") and self._SIMPLE_PATH.fullmatch(sel.strip()):
+            m = self._SIMPLE_PATH.fullmatch(sel.strip())
+            tag = m.group(1)
+            return sel.replace(tag, tag.lower())
+        return sel
+
     def eval_follow(self, sel: str, d) -> list:
+        sel = self._ci_selector(sel, d)
         kind = detect_kind(sel)
         if kind == "pattern":
             raise Skip("pattern follow")
@@ -700,10 +881,12 @@ class Sim:
 
     def _finish(self) -> str:
         fmt = self._opt("output-format", "adhoc")
+        if fmt == "json":
+            fmt = "json-wrapped"  # deprecated alias (tests.sh:135)
         if self._opt("print-type-annotations"):
             raise Skip("print-type-annotations")
         hide = bool(self._opt("hide-variable-names"))
-        if fmt in ("adhoc",):
+        if fmt == "adhoc":
             items = self._adhoc_items(hide)
             from ..io.golden_output import serialize_document
 
@@ -716,20 +899,228 @@ class Sim:
                 declaration=self._opt("output-declaration"),
                 encoding=self._opt("output-encoding", "UTF-8"),
             ) if items else ""
+        if fmt == "xml-wrapped":
+            return self._finish_xml_wrapped()
+        if fmt == "json-wrapped":
+            return self._finish_json_wrapped()
+        if fmt in ("xml", "html"):
+            return self._finish_raw(fmt)
+        if fmt == "bash":
+            return self._finish_bash()
+        if fmt == "cmd":
+            return self._finish_cmd()
         raise Skip(f"output-format {fmt}")
 
     def _adhoc_items(self, hide: bool) -> list[str]:
         lines: list[str] = []
         for g in self.groups:
-            names = {n for n, _ in g["entries"]}
+            names = {n for n, _, _ in g["entries"]}
             plain = hide or names <= {"result"}
-            for name, vals in g["entries"]:
+            for name, vals, _k in g["entries"]:
                 if plain:
                     lines.extend(vals)
                 elif vals:
                     lines.append(f"{name} := {vals[0]}")
                     lines.extend(vals[1:])
+                else:
+                    lines.append(f"{name} := ")  # named empty sequence (adhoc9c)
         return lines
+
+    # -- format assembly (escape rules: xidelbase.pas:2254-2299) -------------
+
+    @staticmethod
+    def _xml_esc(s: str) -> str:
+        return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;") \
+            .replace('"', "&quot;")
+
+    @staticmethod
+    def _html_esc(s: str) -> str:
+        return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+    @staticmethod
+    def _bash_esc(s: str) -> str:
+        if "\n" not in s and "\r" not in s:
+            return "'" + s.replace("'", "'\"'\"'") + "'"
+        return ("$'" + s.replace("\\", "\\\\").replace("'", "\\'")
+                .replace("\n", "\\n").replace("\r", "\\r") + "'")
+
+    @staticmethod
+    def _cmd_esc(s: str) -> str:
+        s = s.replace("\n", "").replace("\r", "")
+        out = []
+        for ch in s:
+            if ch == "%":
+                out.append("%%")
+            elif ch in '^&<>|",;()=':
+                out.append("^" + ch)
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    def _jval(self, v: str, kind: str) -> str:
+        if kind == "num":
+            return v
+        if kind == "bool":
+            return v
+        from ..io.golden_output import _jq
+
+        return _jq(v)
+
+    def _finish_xml_wrapped(self) -> str:
+        enc = self._opt("output-encoding", "UTF-8")
+        decl = self._opt("output-declaration")
+        if decl is None:
+            decl = f'<?xml version="1.0" encoding="{enc}"?>'
+        parts = []
+        for g in self.groups:
+            if g["kind"] == "vars":
+                body = "".join(
+                    f"<{n}>{self._xml_esc(v)}</{n}>\n"
+                    for n, vals, _k in g["entries"] for v in vals
+                )
+                parts.append(f"<e>\n<object>\n{body}</object>\n</e>")
+            else:
+                for _n, vals, _k in g["entries"]:
+                    if not vals:
+                        parts.append("<e><seq/></e>")
+                    elif len(vals) == 1:
+                        parts.append(f"<e>{self._xml_esc(vals[0])}</e>")
+                    else:
+                        inner = "".join(f"<e>{self._xml_esc(v)}</e>" for v in vals)
+                        parts.append(f"<e><seq>{inner}</seq></e>")
+        body = "\n".join(parts)
+        return f"{decl}\n<seq>\n{body}\n</seq>\n"
+
+    def _finish_json_wrapped(self) -> str:
+        parts = []
+        for g in self.groups:
+            if g["kind"] == "vars":
+                order: list[str] = []
+                vals: dict[str, list[str]] = {}
+                kinds: dict[str, str] = {}
+                for n, vs, k in g["entries"]:
+                    if n not in vals:
+                        order.append(n)
+                        vals[n] = []
+                        kinds[n] = k
+                    vals[n].extend(vs)
+                fields = []
+                for n in order:
+                    if len(vals[n]) == 1:
+                        fields.append(f'"{n}": {self._jval(vals[n][0], kinds[n])}')
+                    else:
+                        arr = ", ".join(self._jval(v, kinds[n]) for v in vals[n])
+                        fields.append(f'"{n}": [{arr}]')
+                parts.append("{\n" + ", \n".join(fields) + "\n}")
+            else:
+                for _n, vs, k in g["entries"]:
+                    if not vs:
+                        parts.append("null")
+                    elif len(vs) == 1:
+                        parts.append(self._jval(vs[0], k))
+                    else:
+                        parts.append("[" + ", ".join(self._jval(v, k) for v in vs) + "]")
+        return "[\n" + ", \n".join(parts) + "\n]\n"
+
+    def _finish_raw(self, fmt: str) -> str:
+        esc = self._xml_esc if fmt == "xml" else self._html_esc
+        hide = bool(self._opt("hide-variable-names"))
+        items: list[str] = []
+        # the raw wrapper (<xml>/<html><body>) is added lazily when the
+        # output would not otherwise be well-formed (xidelcrt needRawWrapper;
+        # call sites xidelbase:2329,2347,2416,2686): a non-element value, a
+        # node printed as text, or a change-log group with >1 entries.
+        wrapper = False
+        for g in self.groups:
+            names = {n for n, _, _ in g["entries"]}
+            plain = hide or names <= {"result"}
+            if g["kind"] == "vars" and len(g["entries"]) > 1:
+                wrapper = True
+            for n, vals, k in g["entries"]:
+                if plain:
+                    # plain entries: empty sequences print nothing (xmlraw8)
+                    for v in vals:
+                        if k == "node" and v.startswith("<"):
+                            items.append(v)
+                        else:
+                            wrapper = True
+                            items.append(v if k == "node" else esc(v))
+                else:
+                    # one name wrapper per entry, values joined by newline
+                    # (xmlraw9c '<a>1\n2</a>' vs per-capture wrappers xmlraw3)
+                    body = "\n".join(v if k == "node" else esc(v) for v in vals)
+                    if fmt == "xml":
+                        items.append(f"<{n}>{body}</{n}>")
+                    else:
+                        items.append(f'<span class="{n}">{body}</span>')
+        if not wrapper:
+            enc = self._opt("output-encoding", "UTF-8")
+            decl = self._opt("output-declaration")
+            if decl is None:
+                decl = (f'<?xml version="1.0" encoding="{enc}"?>' if fmt == "xml"
+                        else "<!DOCTYPE html>")
+            return decl + "\n" + "\n".join(items) + "\n"
+        from ..io.golden_output import serialize_document
+
+        return serialize_document(
+            [(None, line) for line in items],
+            fmt=fmt,
+            separator=self._opt("output-separator"),
+            header=self._opt("output-header"),
+            footer=self._opt("output-footer"),
+            declaration=self._opt("output-declaration"),
+            encoding=self._opt("output-encoding", "UTF-8"),
+        )
+
+    def _flat_cmdline_values(self) -> list[tuple[str, str | None]]:
+        """(name, value) pairs; value None = empty-sequence placeholder
+        (bash prints an unquoted empty assignment for it, xidelbase:2405)."""
+        out: list[tuple[str, str | None]] = []
+        for g in self.groups:
+            for n, vals, _k in g["entries"]:
+                if not vals:
+                    out.append((n, None))
+                for v in vals:
+                    out.append((n, v))
+        return out
+
+    def _finish_bash(self) -> str:
+        lines: list[str] = []
+        counts: dict[str, int] = {}
+        for n, v in self._flat_cmdline_values():
+            q = "" if v is None else self._bash_esc(v)
+            c = counts.get(n, 0)
+            if c == 0:
+                lines.append(f"{n}={q}")
+            elif c == 1:
+                lines.append(f'{n}[0]="${n}"')
+                lines.append(f"{n}[1]={q}")
+            else:
+                lines.append(f"{n}[{c}]={q}")
+            counts[n] = c + 1
+        return "\n".join(lines) + "\n" if lines else ""
+
+    def _finish_cmd(self) -> str:
+        lines: list[str] = []
+        order: list[str] = []
+        vals: dict[str, list[str]] = {}
+        for n, v in self._flat_cmdline_values():
+            e = "" if v is None else self._cmd_esc(v)
+            seen = vals.setdefault(n, [])
+            if n not in order:
+                order.append(n)
+            if len(seen) == 0:
+                lines.append(f"SET {n}={e}")
+            elif len(seen) == 1:
+                lines.append(f"SET {n}[0]={seen[0]}")
+                lines.append(f"SET {n}[1]={e}")
+            else:
+                lines.append(f"SET {n}[{len(seen)}]={e}")
+            seen.append(e)
+        for n in order:
+            if len(vals[n]) > 1:
+                lines.append(f"SET #{n}={len(vals[n])}")
+        return "\n".join(lines) + "\n" if lines else ""
 
 
 def run_case(spark, case, ref_root: str | Path = "/root/reference") -> str:
