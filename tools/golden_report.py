@@ -51,7 +51,7 @@ def main() -> int:
             continue
         if got == want:
             passed.add(case.name)
-            print(f"PASS {case.name}")
+            print(f"PASS {case.name} (line {case.line})")
         else:
             failed.setdefault(case.name, f"line {case.line}")
             print(f"FAIL {case.name} (line {case.line})")

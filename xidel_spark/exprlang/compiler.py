@@ -54,6 +54,10 @@ class TV:
     # compiler's context document; a static document literal
     # ('(<html>..</html>)//td') carries its own constant array here.
     backing: Column | None = None
+    # for JSONiq object/array literals: the canonical compact JSON
+    # serialization of the item ('[1,2,{"a":123}]') — the value space stays
+    # the seq/map model, this rides along for json output forms
+    jtext: Column | None = None
 
     @property
     def is_seq(self) -> bool:
@@ -89,8 +93,10 @@ class Compiler:
         pos: Column | None = None,
         size: Column | None = None,
         funcs: Mapping[str, "P.FuncDecl"] | None = None,
+        dot_notation: bool = True,
     ):
         self.funcs = dict(funcs or {})
+        self.dot_notation = dot_notation
         self._call_depth = 0
         self.env = dict(env or {})
         self.nodes = nodes
@@ -104,7 +110,8 @@ class Compiler:
         self.assignments: list[tuple[str, TV]] = []
 
     def bind(self, **kw) -> "Compiler":
-        c = Compiler(self.env, self.nodes, self.ctx, self.pos, self.size, self.funcs)
+        c = Compiler(self.env, self.nodes, self.ctx, self.pos, self.size, self.funcs,
+                     dot_notation=self.dot_notation)
         c.assignments = self.assignments  # shared: nested assigns surface
         c._call_depth = self._call_depth
         for k, v in kw.items():
@@ -209,6 +216,13 @@ class Compiler:
     def to_seq(self, tv: TV) -> TV:
         if tv.is_seq:
             return tv
+        if tv.kind == "null":
+            # JSONiq null is an ITEM (count(null)=1) whose printed form is
+            # the word 'null' — NOT an empty sequence (jsonmode literals)
+            return TV(F.array(F.lit("null")), "seq:string")
+        if tv.kind == "map":
+            # a map is one item; its seq form stringifies (json text)
+            return TV(F.array(self.to_string(tv)), "seq:string")
         col = F.when(tv.col.isNull(), _empty_seq(tv.kind)).otherwise(F.array(tv.col))
         return TV(col, f"seq:{tv.kind}")
 
@@ -748,16 +762,80 @@ class Compiler:
         col = F.flatten(F.transform(seq.col, body))
         return TV(col, f"seq:{out_kind[0] if out_kind else 'string'}")
 
+    def json_form(self, tv: TV) -> Column:
+        """canonical compact JSON text of an item (no spaces): numbers and
+        booleans raw, strings quoted+escaped, null, objects/arrays via
+        their serialization identity."""
+        if tv.jtext is not None:
+            return tv.jtext
+        if tv.kind == "null":
+            return F.lit("null")
+        if tv.kind in NUM_KINDS:
+            return self.to_string(tv)
+        if tv.kind == "bool":
+            return self.to_string(tv)
+        if tv.kind == "map":
+            return F.to_json(tv.col)
+        if tv.is_seq:
+            seq = self.atomize_seq(tv)
+            inner = F.transform(
+                seq.col,
+                lambda x: self.json_form(TV(x, seq.elem_kind))
+                if seq.elem_kind != "string"
+                else self._json_quote(x),
+            )
+            return F.concat(F.lit("["), F.call_function("array_join", inner, F.lit(",")), F.lit("]"))
+        return self._json_quote(self.to_string(tv))
+
+    @staticmethod
+    def _json_quote(c: Column) -> Column:
+        c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+        c = F.replace(c, F.lit('"'), F.lit('\\"'))
+        c = F.replace(c, F.lit("\n"), F.lit("\\n"))
+        c = F.replace(c, F.lit("\r"), F.lit("\\r"))
+        c = F.replace(c, F.lit("\t"), F.lit("\\t"))
+        return F.concat(F.lit('"'), c, F.lit('"'))
+
     def _c_maplit(self, n: P.MapLit) -> TV:
         """JSONiq object → map<string,string> (values stringified — the
-        weak-typing print forms; typed maps would need per-key schemas)."""
+        weak-typing print forms; typed maps would need per-key schemas).
+        The compile-time pair kinds also build the object's JSON
+        serialization identity (jtext)."""
         kv = []
+        jparts: list[Column] = []
         for kast, vast in n.pairs:
-            kv.append(self.to_string(self.compile(kast)))
-            kv.append(self.to_string(self.compile(vast)))
-        return TV(F.create_map(*kv) if kv else F.create_map().cast("map<string,string>"), "map")
+            ktv, vtv = self.compile(kast), self.compile(vast)
+            kv.append(self.to_string(ktv))
+            kv.append(self.to_string(vtv))
+            jparts.append(
+                F.concat(self._json_quote(self.to_string(ktv)), F.lit(":"),
+                         self.json_form(vtv))
+            )
+        jtext = F.concat(
+            F.lit("{"),
+            F.concat_ws(",", *jparts) if jparts else F.lit(""),
+            F.lit("}"),
+        )
+        return TV(
+            F.create_map(*kv) if kv else F.create_map().cast("map<string,string>"),
+            "map",
+            jtext=jtext,
+        )
+
+    def _c_arraylit(self, n) -> TV:
+        base = self._c_seqexpr(n)
+        jparts = [self.json_form(self.compile(i)) for i in n.items]
+        jtext = F.concat(
+            F.lit("["),
+            F.concat_ws(",", *jparts) if jparts else F.lit(""),
+            F.lit("]"),
+        )
+        return TV(base.col, base.kind, backing=base.backing, jtext=jtext)
 
     def _c_lookup(self, n: P.Lookup) -> TV:
+        if n.dot and not self.dot_notation:
+            # '.prop' access disabled (--json-mode standard/jsoniq)
+            return TV(_empty_seq("string"), "seq:string")
         base = self.compile(n.base)
         key = n.key
         if base.kind == "map":
@@ -958,6 +1036,21 @@ class Compiler:
                 return TV(
                     F.try_element_at(args[0].col, self.to_string(args[1])), "string"
                 )
+        if local == "get" and n.args and isinstance(n.args[0], P.Lit) \
+                and n.args[0].kind == "string":
+            # get("name"[, default]) — variable read by constant name
+            # (tests/more.actions scripts); unset -> default or ''
+            vname = n.args[0].value
+            if vname in self.env:
+                v = self.env[vname]
+                return v if isinstance(v, TV) else TV(v, "any")
+            # unset without an explicit default → EMPTY sequence (golden
+            # multipageIf0 prints nothing, not an empty line)
+            return args[1] if len(args) > 1 else TV(_empty_seq("string"), "seq:string")
+        if local == "trace" and args:
+            # trace(value, label): identity on the value (label goes to the
+            # reference's stderr log, which the engine does not reproduce)
+            return args[0]
         sf = getattr(self, "_f_" + local.replace("-", "_"), None)
         if sf is not None:
             return sf(args)
@@ -1048,6 +1141,16 @@ class Compiler:
         n = F.size(self.atomize_seq(args[0]).col)
         return TV(F.when(n > 0, s.col / n).otherwise(F.lit(None).cast("double")), "double")
 
+    def _f_object(self, args: list[TV]) -> TV:
+        """object((k1,v1,k2,v2,...)) — the deprecated object constructor
+        (golden regression_object1): alternating key/value sequence → map."""
+        if not args:
+            return TV(F.create_map().cast("map<string,string>"), "map")
+        seq = self.atomize_seq(args[0]) if args[0].is_seq else self.to_seq(args[0])
+        ks = F.filter(seq.col, lambda x, i: i % 2 == 0)
+        vs = F.filter(seq.col, lambda x, i: i % 2 == 1)
+        return TV(F.map_from_arrays(ks, vs), "map")
+
     def _f_min(self, args: list[TV]) -> TV:
         return self._minmax(args[0], F.array_min)
 
@@ -1115,13 +1218,13 @@ class Compiler:
 class CompiledExpr:
     """compile once, evaluate as a Column under any env/node binding."""
 
-    def __init__(self, source: str):
+    def __init__(self, source: str, json_literals: bool = True):
         self.source = source
         # static direct XML constructors become constant node-array vars:
         # '(<html>..</html>)//td' navigates a compile-time literal
         stripped = P._PROLOG.sub("", source)
         rewritten, self._doc_literals = P.extract_doc_literals(stripped)
-        self.ast, self._funcs = P.parse_expr_full(rewritten)
+        self.ast, self._funcs = P.parse_expr_full(rewritten, json_literals=json_literals)
 
     def _env_with_docs(self, env):
         if not self._doc_literals:
@@ -1179,5 +1282,5 @@ class CompiledExpr:
         return tv.col, log
 
 
-def compile_expr(source: str) -> CompiledExpr:
-    return CompiledExpr(source)
+def compile_expr(source: str, json_literals: bool = True) -> CompiledExpr:
+    return CompiledExpr(source, json_literals=json_literals)

@@ -63,6 +63,12 @@ class SeqExpr:
 
 
 @dataclass
+class ArrayLit(SeqExpr):
+    """JSONiq array [v, ...] — value-space is the seq model, but the item
+    keeps its JSON serialization identity (adhoc-json goldens)."""
+
+
+@dataclass
 class RangeExpr:
     lo: object
     hi: object
@@ -170,6 +176,7 @@ class Lookup:
     """$m?key / $m?1 / $m?* / $m("key") / $m.key — map/array lookup."""
     base: object
     key: object  # str | int | '*' | AST
+    dot: bool = False  # came from the proprietary '.prop' syntax
 
 
 @dataclass
@@ -383,12 +390,16 @@ def extract_doc_literals(src: str) -> tuple[str, dict[str, str]]:
 
 
 class ExprParser:
-    def __init__(self, src: str):
+    def __init__(self, src: str, json_literals: bool = True):
         # version declarations toggle extension sets in the reference
         # (readme.txt:129-131); the compiled surface is the same either way
         self.src = _PROLOG.sub("", src)
         self.toks = tokenize(self.src)
         self.i = 0
+        # JSONiq word literals true/false/null: on for -e (unified
+        # json-mode), off for --json-mode standard / --no-json-literals /
+        # --xquery (goldens jsonmode/*-literals)
+        self.json_literals = json_literals
 
     # -- token helpers ------------------------------------------------------
     def peek(self, k: int = 0):
@@ -671,9 +682,11 @@ class ExprParser:
                 k == "sym" and v == "." and self.peek(1)[0] == "name"
                 and isinstance(a, (VarRef, Lookup, MapLit, Call, SeqExpr, ContextItem))
             ):
-                # proprietary object.property access (readme.txt:147-149)
+                # proprietary object.property access (readme.txt:147-149) —
+                # marked dot=True: the compiler yields empty in
+                # --json-mode standard/jsoniq (goldens jsonmode/*-dotnotation)
                 self.next()
-                a = Lookup(a, self.next()[1])
+                a = Lookup(a, self.next()[1], dot=True)
             elif (
                 k == "sym" and v == "("
                 and isinstance(a, (VarRef, Lookup, MapLit))
@@ -742,7 +755,7 @@ class ExprParser:
                     self.next()
                     items.append(self.parse_sub())
             self.expect("sym", "]")
-            return SeqExpr(items)
+            return ArrayLit(items)
         if k == "sym" and v == "{":
             # JSONiq object constructor (readme.txt:142-152): {"k": v, ...}
             self.next()
@@ -813,14 +826,16 @@ class ExprParser:
             val = self.parse_sub()
             self.expect("sym", "}")
             return TextCtor(val)
-        if k == "name" and v in ("true", "false") and self.peek(1) != ("sym", "("):
+        if (k == "name" and v in ("true", "false") and self.json_literals
+                and self.peek(1) != ("sym", "(")):
             # JSONiq word literals (readme.txt:133-135) — only when NOT
             # followed by '(', and not a path step start: a bare 'true'
             # selects nothing in the fixtures so the literal reading is the
             # reference's
             self.next()
             return Lit(v == "true", "bool")
-        if k == "name" and v == "null" and self.peek(1) != ("sym", "("):
+        if (k == "name" and v == "null" and self.json_literals
+                and self.peek(1) != ("sym", "(")):
             self.next()
             return Lit(None, "null")
         if k == "func":
@@ -1012,10 +1027,10 @@ def parse_expr(src: str):
     return parse_expr_full(src)[0]
 
 
-def parse_expr_full(src: str):
+def parse_expr_full(src: str, json_literals: bool = True):
     """(ast, declared functions) — the prolog's `declare function` entries
     need the compiler (late-bound, recursion-guarded)."""
-    p = ExprParser(src)
+    p = ExprParser(src, json_literals=json_literals)
     ast = p.parse()
     return ast, {f.qname: f for f in getattr(p, "func_decls", [])}
 
@@ -1047,6 +1062,8 @@ def detect_kind(src: str) -> str:
     s = src.strip()
     if s.startswith("<"):
         return "pattern"
+    if s.startswith("["):
+        return "xpath"  # JSONiq array literal, not a CSS attribute selector
     if any(t in s for t in ("/", "::", "$", "(", ")", '"', "'", "=", "|")):
         return "xpath"
     if re.fullmatch(_CSS_RE, s) and re.search(r"[.#]\w|:{1,2}[a-z-]+|\[[^\]]+\]|[>+~]", s):

@@ -146,14 +146,27 @@ _VOID = {
 }
 
 
-def _parse_html_py(html: str | None, wrap: bool = True) -> list[dict] | None:
+def _parse_html_py(html: str | None, wrap: bool = True, keep_pis: bool = True) -> list[dict] | None:
     """stdlib-HTMLParser → node dicts. Mirrors the reference's lenient tree
     builder: void elements never nest, stray end tags pop to the nearest
     open match, fragments get an implicit html/body wrapper (the reference
     pins '/html/body/a' on a bare '<a>' fragment, tests.sh:597)."""
     if html is None:
         return None
+    import re as _re
     from html.parser import HTMLParser
+
+    # full processing instructions terminate at '?>' (HTMLParser stops at
+    # the first '>'): stash them and re-emit as #pi nodes from text
+    # position (golden pinode-xml keeps PI bytes exactly)
+    _pis: list[str] = []
+
+    def _stash(m):
+        _pis.append(m.group(1))
+        return f"\x00PI{len(_pis) - 1}\x00"
+
+    if keep_pis:
+        html = _re.sub(r"<\?(?!xml\b)(.*?)\?>", _stash, html, flags=_re.S)
 
     nodes: list[dict] = [
         {"id": 0, "parent": -1, "pos": 0, "tag": "#doc", "attrs": {},
@@ -211,8 +224,17 @@ def _parse_html_py(html: str | None, wrap: bool = True) -> list[dict] | None:
             # stray end tag: ignored (lenient)
 
         def handle_data(self, data):
-            if data:
-                add("#text", {}, data)
+            if not data:
+                return
+            parts = _re.split(r"\x00PI(\d+)\x00", data)
+            for j, part in enumerate(parts):
+                if j % 2 == 1:
+                    add("#pi", {}, _pis[int(part)])
+                elif part:
+                    add("#text", {}, part)
+
+        def handle_pi(self, data):
+            pass  # unstashed PIs (xml declaration / forced-html mode) drop
 
     parser = P(convert_charrefs=True)
     parser.feed(html)
@@ -265,6 +287,9 @@ def _parse_auto_py(markup: str | None) -> list[dict] | None:
         return None
     import re
 
+    import re as _re
+    if _re.search(r"<\?(?!xml\b)", markup):
+        return _parse_html_py(markup, wrap=False)
     if "<!ENTITY" in markup:
         # internal-DTD entity declarations: the default (lenient) mode does
         # NOT process the DTD — entity references stay raw text (golden
@@ -289,19 +314,36 @@ def _parse_xml_py(xml: str | None) -> list[dict] | None:
     import xml.etree.ElementTree as ET
 
     try:
-        root = ET.fromstring(xml)
+        parser = ET.XMLParser(target=ET.TreeBuilder(insert_pis=True))
+        root = ET.fromstring(xml, parser=parser)
     except ET.ParseError:
         return None
     nodes: list[dict] = [
         {"id": 0, "parent": -1, "pos": 0, "tag": "#doc", "attrs": {}, "text": None, "anc": []}
     ]
 
-    def walk(el, parent, pos):
+    def walk(el, parent, pos, parent_ns=""):
         nid = len(nodes)
-        tag = el.tag.split("}")[-1]
+        tag = el.tag if isinstance(el.tag, str) else "#pi"
+        if tag == "#pi":
+            # tails are appended by the parent loop like any child's
+            nodes.append(
+                {"id": nid, "parent": parent, "pos": 0, "tag": "#pi",
+                 "attrs": {}, "text": el.text,
+                 "anc": nodes[parent]["anc"] + [parent]}
+            )
+            return
+        ns = ""
+        if tag.startswith("{"):
+            ns, tag = tag[1:].split("}", 1)
+        attrs = dict(el.attrib)
+        if ns != parent_ns:
+            # ET strips xmlns declarations; re-materialize the default-ns
+            # change so serialization round-trips (golden namespace1)
+            attrs = {"xmlns": ns, **attrs}
         nodes.append(
             {"id": nid, "parent": parent, "pos": pos, "tag": tag,
-             "attrs": dict(el.attrib), "text": None,
+             "attrs": attrs, "text": None,
              "anc": nodes[parent]["anc"] + [parent]}
         )
         if el.text:
@@ -312,7 +354,7 @@ def _parse_xml_py(xml: str | None) -> list[dict] | None:
         cpos = 0
         for child in el:
             cpos += 1
-            walk(child, nid, cpos)
+            walk(child, nid, cpos, ns)
             if child.tail:
                 nodes.append(
                     {"id": len(nodes), "parent": nid, "pos": 0, "tag": "#text",
@@ -365,6 +407,8 @@ def outer_xml_py(nodes: list[dict] | None, root_id: int = 0) -> str | None:
             return _esc_text(n["text"] or "")
         if n["tag"] == "#skip":
             return ""
+        if n["tag"] == "#pi":
+            return f"<?{n['text'] or ''}?>"
         inner = "".join(ser(c) for c in kids.get(nid, []))
         if n["tag"] == "#doc":
             return inner
@@ -522,12 +566,14 @@ def _serialize_expr(nodes: Column, rid: Column, include_root: bool) -> Column:
         has_kids = F.exists(nodes, lambda m: m["parent"] == n["id"])
         emit = (
             F.when(n["tag"] == "#text", _esc_text_expr(F.coalesce(n["text"], F.lit(""))))
+            .when(n["tag"] == "#pi",
+                  F.concat(F.lit("<?"), F.coalesce(n["text"], F.lit("")), F.lit("?>")))
             .when(n["tag"] == "#doc", F.lit(""))
             .when(has_kids, F.concat(F.lit("<"), n["tag"], attrs, F.lit(">")))
             .otherwise(F.concat(F.lit("<"), n["tag"], attrs, F.lit("/>")))
         )
         pushes = F.when(
-            (n["tag"] == "#text") | (n["tag"] == "#doc") | ~has_kids, kept
+            (n["tag"] == "#text") | (n["tag"] == "#pi") | (n["tag"] == "#doc") | ~has_kids, kept
         ).otherwise(
             F.concat(kept, F.array(F.struct(n["id"].alias("id"), n["tag"].alias("tag"))))
         )

@@ -56,7 +56,8 @@ class Skip(Exception):
 @dataclass
 class Extraction:
     expr: str
-    kind: str  # auto | xpath | css | xquery | pattern
+    kind: str  # auto | xpath | css | xquery | pattern | multipage
+    base_dir: Path | None = None  # file-relative loads (--template-file)
 
 
 @dataclass
@@ -98,6 +99,7 @@ _VALUE_OPTS = {
     "--output-footer", "--output-declaration", "--output-encoding",
     "--printed-node-format", "--output-node-format", "--printed-json-format",
     "--input-format", "--json-mode", "--variable", "--follow-level",
+    "--dot-notation", "--extract-kind", "--template-action",
     "--module", "--module-path", "--default-variable-name",
 }
 _FLAG_OPTS = {
@@ -108,7 +110,7 @@ _FLAG_OPTS = {
 }
 _SKIP_OPTS = {
     "--download", "--post", "--method", "--header", "--form", "--user-agent",
-    "--proxy", "--error-handling", "--wait", "--compressed", "--template-file",
+    "--proxy", "--error-handling", "--wait", "--compressed",
     "--print-received-headers", "--load-cookies", "--save-cookies",
 }
 
@@ -208,6 +210,19 @@ class Sim:
                 nxt = PC(parent=cur)
                 cur.followTo = nxt
                 cur = nxt
+                continue
+            if name == "--template-file" or t == "--template-file":
+                if eq:
+                    v = val
+                else:
+                    if i >= len(toks):
+                        raise Skip("missing arg for --template-file")
+                    v = toks[i]
+                    i += 1
+                p = self.ref_root / v
+                if not p.exists():
+                    raise Skip(f"template-file {v}")
+                cur.actions.append(Extraction(p.read_text(), "multipage", p.parent))
                 continue
             if t in ("--xml", "--html"):
                 fmt = t[2:]
@@ -463,17 +478,29 @@ class Sim:
             is_html = bool(nodes) and any(
                 n["tag"] == "html" and n["parent"] == 0 for n in nodes
             )
-        elif fmt in ("xml", "xml-strict"):
+        elif fmt == "xml-strict":
             nodes = _parse_xml_py(markup)
-            if nodes is None and fmt == "xml":
-                nodes = _parse_auto_py(markup)
+        elif fmt == "xml":
+            # non-strict xml = the reference's LENIENT tree parser: PIs and
+            # undeclared entities keep their raw bytes (pinode-xml)
+            import re as _re
+
+            if _re.search(r"<\?(?!xml\b)", markup) or "<!ENTITY" in markup:
+                nodes = _parse_html_py(markup, wrap=False)
+            else:
+                nodes = _parse_xml_py(markup) or _parse_html_py(markup, wrap=False)
         elif fmt == "html":
-            nodes = _parse_html_py(markup)
+            # forced-html mode does NOT protect <?...?> blocks (pinode-html)
+            nodes = _parse_html_py(markup, keep_pis=False)
             is_html = True
         else:
             raise Skip(f"input-format {fmt}")
         if nodes is None:
             nodes = []
+        if self._opt("ignore-namespaces"):
+            for n in nodes:
+                if n.get("attrs") and "xmlns" in n["attrs"]:
+                    n["attrs"] = {k: v for k, v in n["attrs"].items() if k != "xmlns"}
         return {"url": url, "markup": markup, "level": level, "nodes": nodes,
                 "html": is_html}
 
@@ -618,6 +645,11 @@ class Sim:
     def _tv_of(self, shape, value):
         from ..exprlang.compiler import TV
 
+        if shape == "map":
+            return TV(
+                F.from_json(F.lit(value), "map<string,string>"), "map",
+                jtext=F.lit(value),
+            )
         if shape == "seq":
             return TV(
                 F.array(*[F.lit(v) for v in value]).cast("array<string>"),
@@ -625,21 +657,175 @@ class Sim:
             )
         return TV(F.lit(value), "string")
 
+    # -- multipage actions (<action>/<page>/<template>/<pattern>/<loop>/<s>;
+    #    xidelbase ekMultipage, goldens multipage*/moreActions*/variableActions)
+
+    def _eval_multipage(self, src: str, base_dir: Path | None = None):
+        nodes = _parse_html_py(src, wrap=False)
+        if nodes is None:
+            raise Skip("multipage parse")
+        actions = {}
+        order = []
+        for n in nodes:
+            if n["tag"] == "action":
+                aid = (n.get("attrs") or {}).get("id", "")
+                actions[aid] = n["id"]
+                order.append(aid)
+        if not actions:
+            raise Skip("multipage: no <action>")
+        sel = self._opt("template-action")
+        if sel:
+            wanted = []
+            for part in str(sel).split(","):
+                opt_ok = part.endswith("?")
+                aid = part.rstrip("?")
+                if aid in actions:
+                    wanted.append(aid)
+                elif not opt_ok:
+                    raise Skip(f"multipage action {aid!r} missing")
+        else:
+            wanted = [""] if "" in actions else order[:1]
+        for aid in wanted:
+            self._mp_steps(nodes, actions[aid], base_dir)
+
+    def _mp_children(self, nodes, pid):
+        return [n for n in nodes if n["parent"] == pid and not n["tag"].startswith("#")]
+
+    def _mp_interp(self, s: str) -> str:
+        """'{$var}' / '{expr}' interpolation in page URLs."""
+        def rep(m):
+            shape, value = self._eval_value(m.group(1), None)
+            return value if shape == "string" else " ".join(value)
+
+        return re.sub(r"\{([^{}]*)\}", rep, s)
+
+    def _mp_steps(self, nodes, pid, base_dir):
+        from ..extract.nodes import inner_xml_py
+
+        for n in self._mp_children(nodes, pid):
+            tag, attrs = n["tag"], n.get("attrs") or {}
+            if tag == "s":
+                if self._mp_test(attrs):
+                    self._mp_script(n.get("text") or "")
+            elif tag == "page":
+                url = self._mp_interp(attrs.get("url", ""))
+                if url.startswith(("http://", "https://")):
+                    raise Skip("multipage online page")
+                base = self._mp_page["url"] if getattr(self, "_mp_page", None) else None
+                ref = (url, base, None)
+                d = self._retrieve(ref, 0)
+                if d is None:
+                    raise Skip(f"multipage page {url}")
+                self._mp_page = d
+                tf = attrs.get("templatefile")
+                if tf:
+                    p = (base_dir / tf) if base_dir and (base_dir / tf).exists() \
+                        else (self.ref_root / tf)
+                    if not p.exists():
+                        raise Skip(f"multipage templateFile {tf}")
+                    self._mp_template(p.read_text())
+                for c in self._mp_children(nodes, n["id"]):
+                    if c["tag"] == "template":
+                        self._mp_template(inner_xml_py(nodes, c["id"]) or "")
+            elif tag == "pattern":
+                href = attrs.get("href")
+                if href:
+                    p = (base_dir / href) if base_dir and (base_dir / href).exists() \
+                        else (self.ref_root / href)
+                    if not p.exists():
+                        raise Skip(f"multipage pattern {href}")
+                    self._mp_template(p.read_text())
+                else:
+                    self._mp_template(inner_xml_py(nodes, n["id"]) or "")
+            elif tag == "loop":
+                var = attrs.get("var")
+                shape, value = self._eval_value(attrs.get("list", "()"), None)
+                values = value if shape == "seq" else [value]
+                for v in values:
+                    if var:
+                        self.vars[var] = ("string", v)
+                    self._mp_steps_only(nodes, n["id"], base_dir)
+            elif tag == "if":
+                if self._mp_test(attrs):
+                    self._mp_steps(nodes, n["id"], base_dir)
+            elif tag == "variable":
+                vname = attrs.get("name")
+                if vname and self._mp_test(attrs):
+                    self.vars[vname] = self._eval_value(
+                        n.get("text") or "''", getattr(self, "_mp_page", None)
+                    )
+            elif tag == "template":
+                continue
+            else:
+                raise Skip(f"multipage step <{tag}>")
+
+    def _mp_steps_only(self, nodes, pid, base_dir):
+        self._mp_steps(nodes, pid, base_dir)
+
+    def _mp_test(self, attrs) -> bool:
+        """test="expr" conditions on <s>/<if>/<variable> (multipageShortF)."""
+        t = attrs.get("test")
+        if t is None:
+            return True
+        _shape, val = self._eval_value(
+            f"boolean({t})", getattr(self, "_mp_page", None)
+        )
+        return val == "true"
+
+    def _mp_script(self, script: str):
+        """<s> scripts: evaluate against the current page, record variable
+        assignments, print NOTHING (the reference logs them to stderr)."""
+        d = getattr(self, "_mp_page", None) or self._mkdoc("", "<empty/>", 0, None)
+        self._set_magic(d)
+        mark = len(self.groups)
+        self._eval_expr(script, d, "expr")
+        del self.groups[mark:]
+
+    def _mp_template(self, tmpl: str):
+        """match a template against the current page; anonymous captures
+        log under the multipage default name '_result' (golden multipage)."""
+        d = getattr(self, "_mp_page", None)
+        if d is None:
+            raise Skip("multipage pattern without a page")
+        self._set_magic(d)
+        try:
+            caps = match_template(tmpl, d["nodes"])
+        except ValueError as e:
+            raise Skip(str(e)) from None
+        if caps is None:
+            self._emit([], "vars")
+            return
+        entries = []
+        for name, expr, node_id in caps:
+            vals, ekind = self._eval_capture(expr, d, node_id)
+            nm = name or "_result"
+            entries.append((nm, vals, ekind))
+            if name:
+                self.vars[name] = ("seq", vals) if len(vals) != 1 else ("string", vals[0])
+        self._emit(entries, "vars")
+
     def eval_action(self, act: Extraction, d):
         kind = act.kind
+        if kind == "multipage" or (
+            kind == "auto" and self._opt("extract-kind") == "multipage"
+        ):
+            self._eval_multipage(act.expr, getattr(act, "base_dir", None))
+            return
         if kind == "auto":
             kind = detect_kind(act.expr)
             if kind == "xpath":
-                kind = "xquery"  # -e strings decode entities like xquery
+                # -e strings decode entities like xquery but KEEP json word
+                # literals (only explicit --xquery turns them off)
+                kind = "expr"
         if kind == "pattern":
             self._eval_pattern(act.expr, d)
         elif kind == "css":
             self._eval_css(act.expr, d)
         else:
             src = act.expr
-            if kind == "xquery":
+            if kind in ("xquery", "expr"):
                 src = self._decode_entities(src)
-            self._eval_expr(src, d)
+            self._eval_expr(src, d, kind)
 
     def _nodes_col(self, d):
         col, _roots = nodes_literal_column(d["nodes"])
@@ -664,6 +850,17 @@ class Sim:
         """TV → (array<string> printed items, entry kind)."""
         from ..exprlang.compiler import TV, _empty_seq
 
+        if v.kind == "map":
+            return F.array(c.json_form(v)), "json"
+        jt = getattr(v, "jtext", None)
+        if jt is not None:
+            # JSON serialization identity (object/array literals): render
+            # style is per output format (pretty in adhoc, spaced in
+            # json-wrapped, compact in bash)
+            return F.array(jt), "json"
+        if v.kind == "null":
+            # JSONiq null prints as the word null (adhoc) / bare null (json)
+            return F.array(F.lit("null")), "num"
         if v.kind == "nodes" and self._pnf() == "xml":
             from ..extract.nodes import outer_xml_expr
 
@@ -695,20 +892,36 @@ class Sim:
             r"<$1$2></$1>",
         )
 
-    def _eval_expr(self, src: str, d):
+    def _dot_notation(self) -> bool:
+        if "dot-notation" in self.opts:
+            return str(self.opts["dot-notation"]) not in ("off", "false")
+        return self._opt("json-mode") not in ("standard", "jsoniq")
+
+    def _json_literals_for(self, kind: str) -> bool:
+        """true/false/null word literals: off in --json-mode standard, off
+        for --xquery strings, --no-json-literals[=false] overrides
+        (goldens jsonmode/*-literals)."""
+        if "no-json-literals" in self.opts:
+            return not self.opts["no-json-literals"]
+        if self._opt("json-mode") == "standard":
+            return False
+        return kind != "xquery"
+
+    def _eval_expr(self, src: str, d, kind: str = "auto"):
         from ..exprlang.compiler import Compiler
 
         src = self._hoist_imports(src)
         src = self._hoist_var_declares(src, d)
         try:
-            ce = compile_expr(src)
+            ce = compile_expr(src, json_literals=self._json_literals_for(kind))
         except Exception as e:
             raise Skip(f"parse: {e}") from None
         self.funcs.update(ce._funcs)
         nodes = self._nodes_col(d)
         env = self._env()
         c = Compiler(env=ce._env_with_docs(env), nodes=nodes,
-                     funcs={**self.funcs, **ce._funcs})
+                     funcs={**self.funcs, **ce._funcs},
+                     dot_notation=self._dot_notation())
         try:
             tv = c.compile(ce.ast)
         except Exception as e:
@@ -730,7 +943,10 @@ class Sim:
             for j, (name, v) in enumerate(c.assignments):
                 vals = list(row[f"a{j}"] or [])
                 entries.append((name, vals, akinds[j]))
-                self.vars[name] = ("seq", vals) if len(vals) != 1 else ("string", vals[0])
+                if v.kind == "map" and len(vals) == 1:
+                    self.vars[name] = ("map", vals[0])  # compact json text
+                else:
+                    self.vars[name] = ("seq", vals) if len(vals) != 1 else ("string", vals[0])
             self._emit(entries, "vars")
         else:
             vals = list(row["r"] or [])
@@ -883,8 +1099,11 @@ class Sim:
         fmt = self._opt("output-format", "adhoc")
         if fmt == "json":
             fmt = "json-wrapped"  # deprecated alias (tests.sh:135)
-        if self._opt("print-type-annotations"):
-            raise Skip("print-type-annotations")
+        if self._opt("print-type-annotations") and fmt in (
+                "adhoc", "xml", "html", "bash", "cmd"):
+            # bash/cmd list sequence items flat; only the line formats
+            # parenthesize multi-item sequences (bash9b vs adhoc9b)
+            self.groups = self._annotate_groups(parens=fmt in ("adhoc", "xml", "html"))
         hide = bool(self._opt("hide-variable-names"))
         if fmt == "adhoc":
             items = self._adhoc_items(hide)
@@ -916,7 +1135,10 @@ class Sim:
         for g in self.groups:
             names = {n for n, _, _ in g["entries"]}
             plain = hide or names <= {"result"}
-            for name, vals, _k in g["entries"]:
+            for name, vals, k in g["entries"]:
+                if k == "json":
+                    style = "spaced" if g["kind"] == "vars" else "pretty"
+                    vals = [self._jfmt(v, style) for v in vals]
                 if plain:
                     lines.extend(vals)
                 elif vals:
@@ -925,6 +1147,31 @@ class Sim:
                 else:
                     lines.append(f"{name} := ")  # named empty sequence (adhoc9c)
         return lines
+
+    def _annotate_groups(self, parens: bool = True) -> list[dict]:
+        """--print-type-annotations: strings quote as ".." (" doubled,
+        backslash doubled), empty sequence prints '()', multi-item
+        sequences parenthesize '(v1, <sep>v2)' (goldens adhoc9b, bash9b,
+        bash-escape7/8, xmlraw9b)."""
+        out = []
+        for g in self.groups:
+            entries2 = []
+            for n, vals, k in g["entries"]:
+                if not vals:
+                    entries2.append((n, ["()"], "str"))
+                    continue
+                if k in ("str", "node"):
+                    # quote with '"', double embedded '"'; backslashes are
+                    # NOT escapes in XPath strings and stay as-is
+                    # (bash-escape7: concat('"',"'",'\\') -> """'\\")
+                    vals = ['"' + v.replace('"', '""') + '"' for v in vals]
+                if parens and len(vals) > 1:
+                    vals = (["(" + vals[0] + ", "]
+                            + [v + ", " for v in vals[1:-1]]
+                            + [vals[-1] + ")"])
+                entries2.append((n, vals, "str"))
+            out.append({**g, "entries": entries2})
+        return out
 
     # -- format assembly (escape rules: xidelbase.pas:2254-2299) -------------
 
@@ -957,7 +1204,48 @@ class Sim:
                 out.append(ch)
         return "".join(out)
 
+    @staticmethod
+    def _jfmt(v: str, style: str) -> str:
+        """re-render canonical compact JSON: 'pretty' (indent 2, adhoc/raw
+        formats), 'spaced' (inline with ', '/': ', json-wrapped and
+        change-log entries), 'compact' (bash)."""
+        try:
+            obj = json.loads(v)
+        except (json.JSONDecodeError, TypeError):
+            return v
+        if style == "pretty":
+            return json.dumps(obj, indent=2, ensure_ascii=False)
+        if style == "spaced":
+            return json.dumps(obj, separators=(", ", ": "), ensure_ascii=False)
+        return json.dumps(obj, separators=(",", ":"), ensure_ascii=False)
+
+    def _xmlw_json(self, obj) -> str:
+        """xml-wrapped structural JSON rendering (golden xmlw-json):
+        arrays -> <seq><e>..</e></seq>, objects -> <object><k>v</k></object>
+        with invalid element names as <_ key="..">."""
+        if isinstance(obj, list):
+            return "<seq>" + "".join(f"<e>{self._xmlw_json(x)}</e>" for x in obj) + "</seq>"
+        if isinstance(obj, dict):
+            parts = []
+            for k, v in obj.items():
+                if re.fullmatch(r"[A-Za-z_][\w.-]*", k):
+                    parts.append(f"<{k}>{self._xmlw_json(v)}</{k}>")
+                else:
+                    parts.append(f'<_ key="{self._xml_esc(k)}">{self._xmlw_json(v)}</_>')
+            return "<object>" + "".join(parts) + "</object>"
+        if obj is None:
+            return ""
+        if obj is True:
+            return "true"
+        if obj is False:
+            return "false"
+        if isinstance(obj, str):
+            return self._xml_esc(obj)
+        return json.dumps(obj)
+
     def _jval(self, v: str, kind: str) -> str:
+        if kind == "json":
+            return self._jfmt(v, "spaced")
         if kind == "num":
             return v
         if kind == "bool":
@@ -980,7 +1268,13 @@ class Sim:
                 )
                 parts.append(f"<e>\n<object>\n{body}</object>\n</e>")
             else:
-                for _n, vals, _k in g["entries"]:
+                for _n, vals, k in g["entries"]:
+                    if k == "json" and vals:
+                        try:
+                            parts.append("<e>" + self._xmlw_json(json.loads(vals[0])) + "</e>")
+                            continue
+                        except json.JSONDecodeError:
+                            pass
                     if not vals:
                         parts.append("<e><seq/></e>")
                     elif len(vals) == 1:
@@ -1037,6 +1331,8 @@ class Sim:
             if g["kind"] == "vars" and len(g["entries"]) > 1:
                 wrapper = True
             for n, vals, k in g["entries"]:
+                if k == "json":
+                    vals = [self._jfmt(v, "pretty") for v in vals]
                 if plain:
                     # plain entries: empty sequences print nothing (xmlraw8)
                     for v in vals:

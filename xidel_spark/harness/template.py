@@ -54,7 +54,7 @@ def parse_template(tmpl: str) -> list[TElem]:
     import xml.etree.ElementTree as ET
 
     try:
-        root = ET.fromstring(f"<__t__>{tmpl}</__t__>")
+        root = ET.fromstring(f'<__t__ xmlns:t="t" xmlns:template="t">{tmpl}</__t__>')
     except ET.ParseError as e:
         raise ValueError(f"template parse: {e}") from None
 
@@ -63,6 +63,17 @@ def parse_template(tmpl: str) -> list[TElem]:
         if el.text and el.text.strip():
             _split_text(el.text, t)
         for child in el:
+            ctag = child.tag
+            if isinstance(ctag, str) and ctag.startswith("{t}"):
+                # template-namespace instruction: <t:read var=V source=E/>
+                # captures on the ENCLOSING element (regression_multipage2)
+                local = ctag[3:]
+                if local == "read":
+                    t.captures.append(
+                        (child.attrib.get("var"), child.attrib.get("source", "."))
+                    )
+                    continue
+                raise ValueError(f"template: unsupported t:{local}")
             c = conv(child)
             if child.tail and child.tail.strip():
                 tail = child.tail.strip()
@@ -102,7 +113,7 @@ def _subtree_end(nodes: list[dict], k: int) -> int:
 
 def _attrs_match(tattrs: dict[str, str], nattrs: dict[str, str]) -> bool:
     for a, v in tattrs.items():
-        if a.startswith("t:"):
+        if a.startswith("t:") or a.startswith("{t}"):
             continue  # template-control attributes: not structural
         if nattrs.get(a) != v:
             return False
