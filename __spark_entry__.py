@@ -60,6 +60,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from xidel_spark.queries_expr import EXPR_QUERIES
 
     out.update(EXPR_QUERIES)
+    from xidel_spark.queries_goldens import GOLDEN_QUERIES
+
+    out.update(GOLDEN_QUERIES)
     return out
 
 
@@ -93,4 +96,7 @@ def oracle_sql() -> dict[str, str]:
     from xidel_spark.oracle_expr import EXPR_ORACLES
 
     out.update(EXPR_ORACLES)
+    from xidel_spark.queries_goldens import expr_goldens_oracle
+
+    out["expr_goldens"] = expr_goldens_oracle()
     return out

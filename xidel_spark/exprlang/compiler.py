@@ -457,7 +457,12 @@ class Compiler:
             return TV(F.when(b == 0, zero).otherwise(a / b), "double")
         if op == "idiv":
             return TV(F.when(b != 0, a / b).cast("long"), "long")
-        return TV(F.when(b == 0, F.lit(float("nan"))).otherwise(a % b), "double")
+        # mod is a - trunc(a div b)*b in the reference (arithmetic, not
+        # IEEE fmod): a zero remainder from a NONZERO dividend is +0, only
+        # a ±0 dividend keeps its sign (-1 mod -1 = 0 but -0 mod -1 = -0)
+        r = a % b
+        r = F.when((r == 0) & ~(a == 0), F.lit(0.0)).otherwise(r)
+        return TV(F.when(b == 0, F.lit(float("nan"))).otherwise(r), "double")
 
     _GENERAL = {"=", "!=", "<", "<=", ">", ">="}
     _VALUE = {"eq": "=", "ne": "!=", "lt": "<", "le": "<=", "gt": ">", "ge": ">="}
@@ -796,6 +801,95 @@ class Compiler:
         c = F.replace(c, F.lit("\t"), F.lit("\\t"))
         return F.concat(F.lit('"'), c, F.lit('"'))
 
+    def _c_trycatch(self, n: P.TryCatch) -> TV:
+        """try/catch over the ops with a defined dynamic-error model in
+        this corpus: integer division — err:FOAR0001 when the divisor is
+        ±0, err:FOAR0002 when an operand is non-finite (golden
+        divisionInt). Other expressions compile through (no error path in
+        a column plan); the handler sees $__err_code."""
+        if isinstance(n.expr, P.BinOp) and n.expr.op in ("idiv", "mod"):
+            a = self.to_number(self.compile(n.expr.left))
+            b = self.to_number(self.compile(n.expr.right))
+            # an INFINITE divisor is fine (-1 idiv -INF = 0); only a
+            # non-finite DIVIDEND or NaN divisor raises FOAR0002
+            nonfinite = (
+                F.isnan(a) | F.isnan(b) | (F.abs(a) == F.lit(float("inf")))
+            )
+            def handler(code: str) -> Column:
+                sub = self.bind(__err_code=TV(F.lit(code), "string"))
+                return sub.to_string(sub.compile(n.handler))
+            value = self.to_string(self._arith(n.expr.op, TV(a, "double"), TV(b, "double")))
+            if n.expr.op == "idiv":
+                return TV(
+                    F.when(b == 0, handler("err:FOAR0001"))
+                    .when(nonfinite, handler("err:FOAR0002"))
+                    .otherwise(value),
+                    "string",
+                )
+        return self.compile(n.expr)
+
+    def _c_windowexpr(self, n: P.WindowExpr) -> TV:
+        """for tumbling|sliding window — windows as array slices: start
+        positions from the start-when condition, tumbling windows run to
+        the next start, sliding windows to the first end-when hit (golden
+        xquery5). One Catalyst expression, no shuffle, no Python."""
+        src = self.compile(n.src)
+        seq = src if src.is_seq else self.to_seq(src)
+        ek = seq.elem_kind
+        backing = seq.backing
+        size = F.size(seq.col)
+        idxs = F.when(size > 0, F.sequence(F.lit(1), size)).otherwise(
+            _empty_seq("long")
+        )
+
+        def cond(cond_ast):
+            def fn(i):
+                el = F.element_at(seq.col, i.cast("int"))
+                ctx = (TV(F.array(el), "nodes", backing=backing)
+                       if ek == "nodes" else TV(el, ek))
+                sub = self.bind(__ctx=ctx, __pos=i, __size=size)
+                return sub.ebv(sub.compile(cond_ast))
+            return fn
+
+        starts = F.filter(idxs, cond(n.start))
+        if n.mode == "tumbling":
+            wins = F.transform(
+                starts,
+                lambda s, j: F.slice(
+                    seq.col, s.cast("int"),
+                    (F.coalesce(F.try_element_at(starts, (j + 2).cast("int")) - 1, size)
+                     - s + 1).cast("int"),
+                ),
+            )
+        elif n.end is None:
+            wins = F.transform(
+                starts, lambda s: F.slice(seq.col, s.cast("int"), (size - s + 1).cast("int"))
+            )
+        else:
+            endc = cond(n.end)
+
+            def win(s):
+                ends = F.filter(idxs, lambda i: (i >= s) & endc(i))
+                e = F.coalesce(F.try_element_at(ends, F.lit(1)), size.cast("bigint"))
+                return F.slice(seq.col, s.cast("int"), (e - s + 1).cast("int"))
+
+            wins = F.transform(starts, win)
+
+        out_kind: list[str] = []
+
+        def body(w):
+            wkind = seq.kind if seq.is_seq else f"seq:{ek}"
+            sub = self.bind(**{n.var: TV(w, wkind, backing=backing)})
+            tv = sub.compile(n.ret)
+            tv_seq = tv if tv.is_seq else sub.to_seq(tv)
+            if tv_seq.kind == "nodes":
+                tv_seq = sub.atomize_seq(tv_seq)
+            out_kind.append(tv_seq.elem_kind)
+            return tv_seq.col
+
+        col = F.flatten(F.transform(wins, body))
+        return TV(col, f"seq:{out_kind[0] if out_kind else 'string'}")
+
     def _c_maplit(self, n: P.MapLit) -> TV:
         """JSONiq object → map<string,string> (values stringified — the
         weak-typing print forms; typed maps would need per-key schemas).
@@ -897,9 +991,26 @@ class Compiler:
             }[n.occurrence]
             return TV(F.lit(ok) & card, "bool")
         if tv.kind == "any":
-            raise ValueError(
-                "expr: 'instance of' on a dynamically-typed value — cast "
-                "first (xs constructors) to assert the type"
+            # DYNAMIC type test on an untyped (column-bound) value: an
+            # untypedAtomic matches xs:T iff its lexical form is in T's
+            # lexical space — the weak-typing reading, decided at runtime
+            # by the xs constructor lattice (out-of-facet → NULL)
+            col = tv.col.cast("string")
+            if t in ("item()", "xs:anyAtomicType", "xs:string", "xs:untypedAtomic"):
+                ok_col = col.isNotNull()
+            elif t.endswith("()"):  # node kind tests never match atomics
+                ok_col = F.lit(False)
+            else:
+                from ..functions.registry import BUILTINS
+
+                try:
+                    ok_col = BUILTINS.call(t, col).isNotNull()
+                except KeyError:
+                    raise ValueError(f"expr: unknown type {t!r} in 'instance of'") from None
+            return TV(
+                F.when(tv.col.isNull(), F.lit(n.occurrence in ("?", "*")))
+                .otherwise(ok_col),
+                "bool",
             )
         ok = t in self._KIND_TYPES.get(tv.kind, set())
         card = F.lit(True) if n.occurrence in ("", "?", "*", "+") else F.lit(False)
@@ -1047,6 +1158,22 @@ class Compiler:
             # unset without an explicit default → EMPTY sequence (golden
             # multipageIf0 prints nothing, not an empty line)
             return args[1] if len(args) > 1 else TV(_empty_seq("string"), "seq:string")
+        if local in ("extract", "extract-all") and len(n.args) >= 2 \
+                and isinstance(n.args[1], P.Lit):
+            # extract(string, regex[, group]) (readme.txt:191-194) — the
+            # regex/group are compile-time constants here (regexp_extract
+            # wants them as Python values)
+            src_c = self.to_string(self.compile(n.args[0]))
+            regex = str(n.args[1].value)
+            group = 0
+            if len(n.args) > 2 and isinstance(n.args[2], P.Lit):
+                group = int(n.args[2].value)
+            if local == "extract":
+                return TV(F.regexp_extract(src_c, regex, group), "string")
+            return TV(
+                F.regexp_extract_all(src_c, F.lit(regex), F.lit(group)),
+                "seq:string",
+            )
         if local == "trace" and args:
             # trace(value, label): identity on the value (label goes to the
             # reference's stderr log, which the engine does not reproduce)
@@ -1056,7 +1183,9 @@ class Compiler:
             return sf(args)
         from ..functions.registry import BUILTINS
 
-        fn = BUILTINS.resolve(name if ":" in name else f"fn:{name}")
+        # bare names resolve through fn: then the default-importable x:/pxp:
+        # extension namespaces (registry.resolve)
+        fn = BUILTINS.resolve(name)
         cols = []
         for a in args:
             if a.kind == "nodes":
@@ -1220,11 +1349,26 @@ class CompiledExpr:
 
     def __init__(self, source: str, json_literals: bool = True):
         self.source = source
+        # module imports surface on .imports for the caller to load
+        # (registry.load_module / harness); parsing proceeds without them
+        self.imports: list[tuple[str | None, str, str | None]] = []
+        stripped = P.IMPORT_MODULE.sub(
+            lambda m: self.imports.append((m.group(1), m.group(2), m.group(3))) or "",
+            P._PROLOG.sub("", source),
+        )
+        stripped = _rewrite_pattern_bindings(stripped)
+        # $Q{..xqt-errors..}code braced-URI variable → $__err_code
+        import re as _re
+
+        stripped = _re.sub(r"\$Q\{[^}]*xqt-errors[^}]*\}(\w+)", r"$__err_\1", stripped)
         # static direct XML constructors become constant node-array vars:
         # '(<html>..</html>)//td' navigates a compile-time literal
-        stripped = P._PROLOG.sub("", source)
         rewritten, self._doc_literals = P.extract_doc_literals(stripped)
-        self.ast, self._funcs = P.parse_expr_full(rewritten, json_literals=json_literals)
+        if not rewritten.strip():
+            # '-e ""' / import-only prologs: the empty sequence
+            self.ast, self._funcs = P.SeqExpr([]), {}
+        else:
+            self.ast, self._funcs = P.parse_expr_full(rewritten, json_literals=json_literals)
 
     def _env_with_docs(self, env):
         if not self._doc_literals:
@@ -1280,6 +1424,67 @@ class CompiledExpr:
         tv = c.compile(self.ast)
         log = [(name, c.to_string(v)) for name, v in c.assignments]
         return tv.col, log
+
+
+_PATBIND = __import__("re").compile(r"\b(let|for)\s*<")
+
+
+def _rewrite_pattern_bindings(src: str) -> str:
+    """`let <a>{$foo}</a> := <a>123</a> return ..` — pattern-destructuring
+    bindings (goldens regression_mutablevariable1/2): when BOTH the
+    template and the source are static markup, match at compile time and
+    rewrite to plain let bindings of the captured values. Non-static
+    shapes fall through unchanged (and fail to parse, honestly)."""
+    import re as _re
+
+    out = src
+    for _ in range(8):  # nested occurrences
+        m = _PATBIND.search(out)
+        if m is None:
+            return out
+        # lazy import: harness.template is a pure-python node matcher; the
+        # package-level import would cycle (harness.sim imports compiler)
+        from ..harness.template import match_template
+
+        t_start = out.index("<", m.start())
+        t_end = P._scan_markup(out, t_start, allow_braces=True)
+        if t_end is None:
+            return out
+        template = out[t_start:t_end]
+        rest = out[t_end:]
+        kw = ":=" if m.group(1) == "let" else "in"
+        rest_l = rest.lstrip()
+        if not rest_l.startswith(kw):
+            return out
+        after = t_end + (len(rest) - len(rest_l)) + len(kw)
+        rest2 = out[after:]
+        rest2_l = rest2.lstrip()
+        if not rest2_l.startswith("<"):
+            return out
+        s_start = after + (len(rest2) - len(rest2_l))
+        s_end = P._scan_markup(out, s_start)
+        if s_end is None:
+            return out
+        source_markup = out[s_start:s_end]
+        from ..extract.nodes import _parse_auto_py, _parse_xml_py
+
+        nodes = _parse_xml_py(source_markup) or _parse_auto_py(source_markup)
+        if not nodes:
+            return out
+        try:
+            caps = match_template(template, nodes)
+        except ValueError:
+            return out
+        parts = []
+        for name, expr, nid in caps or []:
+            if name is None or expr.strip() != ".":
+                return out
+            val = nodes[nid].get("text") or ""
+            parts.append("$" + name + " := '" + val.replace("'", "''") + "'")
+        if not parts:
+            return out
+        out = out[: m.start()] + "let " + ", ".join(parts) + out[s_end:]
+    return out
 
 
 def compile_expr(source: str, json_literals: bool = True) -> CompiledExpr:

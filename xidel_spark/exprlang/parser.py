@@ -103,6 +103,26 @@ class Flwor:
 
 
 @dataclass
+class TryCatch:
+    """try { E } catch * { H } — H sees $__err_code (the rewritten
+    $Q{..xqt-errors..}code braced-URI variable)."""
+    expr: object
+    handler: object
+
+
+@dataclass
+class WindowExpr:
+    """for tumbling|sliding window $v in SRC start when C [end when C]
+    return BODY (XQuery 3.0 window clause; tests.sh:441-442)."""
+    mode: str
+    var: str
+    src: object
+    start: object
+    end: object | None
+    ret: object
+
+
+@dataclass
 class Quant:
     mode: str  # 'some' | 'every'
     clauses: list  # [(varname, expr), ...]
@@ -313,17 +333,24 @@ _PROLOG = re.compile(
 )
 
 
-def _scan_markup(s: str, i: int) -> int | None:
+def _scan_markup(s: str, i: int, allow_braces: bool = False) -> int | None:
     """balanced scan of a direct XML constructor starting at s[i] == '<';
     returns the end index (exclusive) or None if not well-formed markup.
     Static markup only — '{' interpolation disqualifies (the computed
-    constructors handle dynamic content)."""
+    constructors handle dynamic content) unless allow_braces (template
+    scans for pattern-destructuring bindings treat {..} as opaque)."""
     depth = 0
     j = i
     n = len(s)
     while j < n:
         c = s[j]
         if c == "{":
+            if allow_braces:
+                end = s.find("}", j)
+                if end < 0:
+                    return None
+                j = end + 1
+                continue
             return None
         if c == "<":
             if s.startswith("<!--", j):
@@ -365,6 +392,15 @@ def _scan_markup(s: str, i: int) -> int | None:
     return None
 
 
+# `import module namespace p = "uri" at "path";` prologs: the parser
+# ACCEPTS and surfaces them (CompiledExpr.imports) — loading is the
+# caller's job (functions/registry.load_module; harness/sim hoists)
+IMPORT_MODULE = re.compile(
+    r'import\s+module\s+(?:namespace\s+([\w-]+)\s*=\s*)?"([^"]*)"'
+    r'(?:\s+at\s+"([^"]*)")?\s*;'
+)
+
+
 def extract_doc_literals(src: str) -> tuple[str, dict[str, str]]:
     """replace static direct XML constructors with synthetic $__docN vars;
     recognized at expression start or right after '(' / ','."""
@@ -376,7 +412,10 @@ def extract_doc_literals(src: str) -> tuple[str, dict[str, str]]:
         c = src[i]
         if c == "<" and i + 1 < n and (src[i + 1].isalpha() or src[i + 1] == "_"):
             prev = "".join(out).rstrip()
-            if prev == "" or prev.endswith(("(", ",")):
+            # expression start, after '('/',', after ':=' (binding position:
+            # let $x := <a>..</a>//b), or after a flow keyword
+            if (prev == "" or prev.endswith(("(", ",", ":=", "["))
+                    or re.search(r"\b(return|in|then|else|satisfies)$", prev)):
                 end = _scan_markup(src, i)
                 if end is not None:
                     name = f"__doc{len(docs)}"
@@ -688,8 +727,34 @@ class ExprParser:
                 self.next()
                 a = Lookup(a, self.next()[1], dot=True)
             elif (
+                k == "sym" and v == "(" and isinstance(a, (PathRoot, PathApply))
+                and a.path.steps and a.path.attr is None
+                and a.path.steps[-1].axis == "child"
+                and not a.path.steps[-1].test.startswith("#")
+                and a.path.steps[-1].test not in ("*", "node()")
+            ):
+                # path-step function call (readme.txt:147-149):
+                # '/html/body/a/concat(">",text(),"<")' — the trailing name
+                # step is really a per-node call: rewrite to
+                # path ! concat(...) (simple-map semantics)
+                fname = a.path.steps[-1].test
+                self.next()
+                args = []
+                if self.peek() != ("sym", ")"):
+                    args.append(self.parse_sub())
+                    while self.peek() == ("sym", ","):
+                        self.next()
+                        args.append(self.parse_sub())
+                self.expect("sym", ")")
+                import dataclasses as _dc
+
+                base_path = _dc.replace(a.path, steps=a.path.steps[:-1])
+                base = (PathRoot(base_path) if isinstance(a, PathRoot)
+                        else PathApply(a.base, base_path))
+                a = SimpleMap(base, Call(fname, args))
+            elif (
                 k == "sym" and v == "("
-                and isinstance(a, (VarRef, Lookup, MapLit))
+                and isinstance(a, (VarRef, Lookup, MapLit, ContextItem))
             ):
                 # dynamic call on a map value = property access ('{..}("name")');
                 # zero-arg '$obj()' returns the property-name sequence
@@ -756,6 +821,10 @@ class ExprParser:
                     items.append(self.parse_sub())
             self.expect("sym", "]")
             return ArrayLit(items)
+        if k == "name" and v == "map" and self.peek(1) == ("sym", "{"):
+            # XPath 3.1 'map { ... }' — same literal as the JSONiq object
+            self.next()
+            k, v = self.peek()
         if k == "sym" and v == "{":
             # JSONiq object constructor (readme.txt:142-152): {"k": v, ...}
             self.next()
@@ -782,14 +851,30 @@ class ExprParser:
                     break
             self.expect("sym", "}")
             return MapLit(pairs)
+        if k == "name" and v == "try" and self.peek(1) == ("sym", "{"):
+            self.next()
+            self.next()
+            e = self.parse_sub()
+            self.expect("sym", "}")
+            if not (self.at_word("catch")):
+                raise ValueError("expr: try without catch")
+            self.next()
+            if self.peek() == ("sym", "*"):
+                self.next()
+            self.expect("sym", "{")
+            h = self.parse_sub()
+            self.expect("sym", "}")
+            return TryCatch(e, h)
         if k == "name" and v == "if" and self.peek(1) == ("sym", "("):
             return self._if_expr()
         if k == "name" and v in ("let", "for") and self.peek(1)[0] == "var":
             return self._flwor()
+        if (k == "name" and v == "for" and self.peek(1)[1] in ("tumbling", "sliding")
+                and self.peek(2)[1] == "window"):
+            return self._window_expr()
         if k == "name" and v == "for" and self.peek(1)[0] == "name":
             raise ValueError(
-                "expr: 'for tumbling/sliding window' routes through the "
-                "library window operators (queries_ext.py)"
+                "expr: 'for ... window' variant not recognized"
             )
         if k == "name" and v in ("some", "every") and self.peek(1)[0] == "var":
             return self._quant(v)
@@ -904,6 +989,36 @@ class ExprParser:
     def exprsingle(self):
         """ExprSingle: one expression, no top-level ','."""
         return self.parse_sub()
+
+    def _window_expr(self):
+        self.next()  # for
+        mode = self.next()[1]  # tumbling | sliding
+        self.next()  # window
+        vk, vv = self.next()
+        if vk != "var":
+            raise ValueError("expr: expected $var after 'window'")
+        if not self.at_word("in"):
+            raise ValueError("expr: window clause without 'in'")
+        self.next()
+        src = self.exprsingle()
+        if not self.at_word("start"):
+            raise ValueError("expr: window clause without 'start'")
+        self.next()
+        if not self.at_word("when"):
+            raise ValueError("expr: window 'start' without 'when'")
+        self.next()
+        start = self.exprsingle()
+        end = None
+        if self.at_word("end"):
+            self.next()
+            if not self.at_word("when"):
+                raise ValueError("expr: window 'end' without 'when'")
+            self.next()
+            end = self.exprsingle()
+        if not self.at_word("return"):
+            raise ValueError("expr: window clause without 'return'")
+        self.next()
+        return WindowExpr(mode, vv[1:], src, start, end, self.exprsingle())
 
     def _flwor(self):
         clauses = []

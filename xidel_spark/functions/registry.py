@@ -36,6 +36,13 @@ class ModuleRegistry:
 
     def resolve(self, qname: str) -> Callable[..., Column]:
         if ":" not in qname:
+            # unprefixed: fn: first, then the default-importable extension
+            # namespaces — the reference's pxp/x functions are callable
+            # without a prefix (readme.txt: extract(...), inner-text(...))
+            for ns in ("fn", "x", "pxp"):
+                fn = self._fns.get(f"{ns}:{qname}")
+                if fn is not None:
+                    return fn
             qname = f"fn:{qname}"
         try:
             return self._fns[qname]

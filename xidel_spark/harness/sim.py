@@ -852,6 +852,10 @@ class Sim:
 
         if v.kind == "map":
             return F.array(c.json_form(v)), "json"
+        if v.kind == "xmlstr" and self._pnf() == "xml":
+            # computed-constructor results are already serialized markup —
+            # raw node items, never escaped (linebreaksXMLOutput goldens)
+            return F.array(v.col), "node"
         jt = getattr(v, "jtext", None)
         if jt is not None:
             # JSON serialization identity (object/array literals): render
@@ -1109,13 +1113,18 @@ class Sim:
             items = self._adhoc_items(hide)
             from ..io.golden_output import serialize_document
 
+            decl = self._opt("output-declaration")
+            if decl and self._opt("output-node-indent"):
+                # indent mode breaks the line after the declaration
+                # (linebreaksXMLElementNodes-Decl-Indent vs -NoIndent)
+                decl = decl + "\n"
             return serialize_document(
                 [(None, line) for line in items],
                 fmt="adhoc",
                 separator=self._opt("output-separator"),
                 header=self._opt("output-header"),
                 footer=self._opt("output-footer"),
-                declaration=self._opt("output-declaration"),
+                declaration=decl,
                 encoding=self._opt("output-encoding", "UTF-8"),
             ) if items else ""
         if fmt == "xml-wrapped":
@@ -1139,6 +1148,8 @@ class Sim:
                 if k == "json":
                     style = "spaced" if g["kind"] == "vars" else "pretty"
                     vals = [self._jfmt(v, style) for v in vals]
+                if k == "node" and self._opt("output-node-indent"):
+                    vals = [self._indent_markup(v) for v in vals]
                 if plain:
                     lines.extend(vals)
                 elif vals:
@@ -1316,6 +1327,69 @@ class Sim:
                         parts.append("[" + ", ".join(self._jval(v, k) for v in vs) + "]")
         return "[\n" + ", \n".join(parts) + "\n]\n"
 
+    _INLINE_TAGS = {"a", "span", "b", "i", "em", "strong", "code", "u",
+                    "sub", "sup", "small", "label"}
+
+    def _indent_markup(self, s: str, html: bool = False) -> str:
+        """--output-node-indent: 2-space pretty markup. Text-only elements
+        stay inline; in HTML mode inline-level elements stay on the parent
+        line and voids drop the self-closing slash (linebreaks goldens)."""
+        from ..extract.nodes import _VOID, _parse_html_py, _parse_xml_py
+
+        nodes = _parse_xml_py(s) or _parse_html_py(s, wrap=False)
+        if not nodes:
+            return s
+        byid = {n["id"]: n for n in nodes}
+        kids: dict[int, list[int]] = {}
+        for n in nodes:
+            kids.setdefault(n["parent"], []).append(n["id"])
+
+        def esc(t):
+            return t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+        def ser(nid: int, depth: int) -> str:
+            n = byid[nid]
+            tag = n["tag"]
+            if tag == "#text":
+                return esc(n["text"] or "")
+            if tag == "#pi":
+                return f"<?{n['text'] or ''}?>"
+            if tag == "#doc":
+                return "".join(ser(k, depth) for k in kids.get(nid, []))
+            attrs = "".join(
+                f' {k}="{(v or "").replace("&", "&amp;").replace(chr(34), "&quot;")}"'
+                for k, v in (n["attrs"] or {}).items()
+            )
+            ks = kids.get(nid, [])
+            if not ks:
+                if html:
+                    return (f"<{tag}{attrs}>" if tag in _VOID
+                            else f"<{tag}{attrs}></{tag}>")
+                return f"<{tag}{attrs}/>"
+            if all(byid[k]["tag"] == "#text" for k in ks):
+                body = "".join(esc(byid[k]["text"] or "") for k in ks)
+                return f"<{tag}{attrs}>{body}</{tag}>"
+            out = [f"<{tag}{attrs}>"]
+            broke = False
+            for k in ks:
+                kn = byid[k]
+                if kn["tag"] == "#text":
+                    if (kn["text"] or "").strip():
+                        out.append(esc(kn["text"]))
+                    continue
+                if html and kn["tag"] in self._INLINE_TAGS:
+                    out.append(ser(k, depth + 1))
+                else:
+                    broke = True
+                    out.append("\n" + "  " * (depth + 1) + ser(k, depth + 1))
+            if broke:
+                out.append("\n" + "  " * depth)
+            return "".join(out) + f"</{tag}>"
+
+        roots = kids.get(0, [])
+        return "\n".join(ser(r, 0) for r in roots
+                         if byid[r]["tag"] != "#text" or (byid[r]["text"] or "").strip())
+
     def _finish_raw(self, fmt: str) -> str:
         esc = self._xml_esc if fmt == "xml" else self._html_esc
         hide = bool(self._opt("hide-variable-names"))
@@ -1333,6 +1407,8 @@ class Sim:
             for n, vals, k in g["entries"]:
                 if k == "json":
                     vals = [self._jfmt(v, "pretty") for v in vals]
+                if k == "node" and self._opt("output-node-indent"):
+                    vals = [self._indent_markup(v, html=(fmt == "html")) for v in vals]
                 if plain:
                     # plain entries: empty sequences print nothing (xmlraw8)
                     for v in vals:

@@ -59,8 +59,38 @@ SELECT
 FROM orders
 """
 
+INSTANCE_OF_DYNAMIC = """
+WITH base AS (
+  SELECT o_orderkey::BIGINT AS key,
+    CASE o_orderkey % 6
+      WHEN 0 THEN o_orderkey::VARCHAR
+      WHEN 1 THEN o_orderkey::VARCHAR || '.5'
+      WHEN 2 THEN 'true'
+      WHEN 3 THEN strftime(o_orderdate::DATE, '%Y-%m-%d')
+      WHEN 4 THEN 'NaN'
+      ELSE 'x' || o_orderkey::VARCHAR
+    END AS lex
+  FROM orders
+)
+SELECT key, lex,
+  regexp_matches(lex, '^[+-]?\\d+(\\.0*)?$')
+    AND TRY_CAST(regexp_replace(lex, '\\.0*$', '') AS BIGINT) IS NOT NULL
+    AS is_integer,
+  trim(lex) IN ('INF','-INF','NaN') OR TRY_CAST(trim(lex) AS DOUBLE) IS NOT NULL
+    AS is_double,
+  trim(lex) IN ('true','false','1','0') AS is_boolean,
+  regexp_matches(lex, '^\\d{4}-\\d{2}-\\d{2}$') AND TRY_CAST(lex AS DATE) IS NOT NULL
+    AS is_date,
+  regexp_matches(lex, '^[+-]?\\d+(\\.0*)?$')
+    AND TRY_CAST(regexp_replace(lex, '\\.0*$', '') AS BIGINT) BETWEEN -128 AND 127
+    AS is_byte,
+  lex IS NOT NULL AS is_string
+FROM base
+"""
+
 EXPR_ORACLES = {
     "xpath_expressions": XPATH_EXPRESSIONS,
     "request_combine_frontier": REQUEST_COMBINE_FRONTIER,
     "xs_constructors": XS_CONSTRUCTORS,
+    "instance_of_dynamic": INSTANCE_OF_DYNAMIC,
 }

@@ -140,8 +140,47 @@ def q_xs_constructors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_instance_of_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dynamic `instance of` over RUNTIME-typed values (VERDICT r3 task 9):
+    a column-bound variable has no static kind, so the type test decides
+    at runtime through the xs constructor lattice (lexical-space
+    membership, the weak-typing reading). Lexical forms rotate per orders
+    row: integer, non-integer decimal, boolean word, date, NaN, free text."""
+    from .exprlang import compile_expr
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").cast("long").alias("key"),
+        F.col("o_orderdate").cast("timestamp").alias("odate"),
+    )
+    key = F.col("key")
+    lex = (
+        F.when(key % 6 == 0, key.cast("string"))
+        .when(key % 6 == 1, F.format_string("%d.5", key))
+        .when(key % 6 == 2, F.lit("true"))
+        .when(key % 6 == 3, F.date_format(F.col("odate"), "yyyy-MM-dd"))
+        .when(key % 6 == 4, F.lit("NaN"))
+        .otherwise(F.format_string("x%d", key))
+    )
+    base = o.select("key", lex.alias("lex"))
+    env = {"v": F.col("lex")}
+    tests = [
+        ("is_integer", "xs:integer"),
+        ("is_double", "xs:double"),
+        ("is_boolean", "xs:boolean"),
+        ("is_date", "xs:date"),
+        ("is_byte", "xs:byte"),
+        ("is_string", "xs:string"),
+    ]
+    return base.select(
+        "key", "lex",
+        *[compile_expr(f"$v instance of {t}").column(env=env).alias(a)
+          for a, t in tests],
+    )
+
+
 EXPR_QUERIES = {
     "xpath_expressions": q_xpath_expressions,
     "request_combine_frontier": q_request_combine,
     "xs_constructors": q_xs_constructors,
+    "instance_of_dynamic": q_instance_of_dynamic,
 }
