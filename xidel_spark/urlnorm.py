@@ -311,7 +311,21 @@ def canonicalize_expr(col: Column) -> Column:
     '..'-levels, '//' pop quirks — none in any real crawl corpus) take the
     exact aggregate stack machine, behind a lazily-evaluated CaseWhen
     branch at the TOP of the expression so the machine's per-row cost is
-    never paid on the fast path."""
+    never paid on the fast path.
+
+    WHY NOT CODEGEN (round-4 measurement, closing round-2's open idea):
+    the HOF branch keeps this Project out of whole-stage codegen, but
+    restoring codegen does NOT pay here. Three measured variants at 1M
+    URLs / 4 cores, byte-equal to this form: (a) a letless HOF-free tree
+    (2 codegen spans) — 9.1 s; (b) a staged multi-Project form with
+    column-leaf sharing and 5 codegen spans — 10.0 s; (c) THIS
+    interpreted form with _let sharing — 2.9 s. Regex expressions are
+    excluded from Spark's subexpression elimination, so every letless
+    variant re-executes the substring/regex chains enough times to
+    overwhelm codegen's instruction-level win; _let sharing beats
+    whole-stage codegen ~3x on this workload. The Arrow row-map remains
+    ~2.5x faster at equal cores and stays the on-box default; this form
+    is the off-box/no-Python default (xidel.urlnorm.engine)."""
     fast, needs = _canon_core(col, _dots_fast)
     slow, _ = _canon_core(col, lambda p: (_dots_cat(p), F.lit(False)))
     return F.when(needs, slow).otherwise(fast)
