@@ -122,7 +122,13 @@ def run(spark) -> dict:
     # Catalyst expression (auto default off-box, no Python boundary)
     from xidel_spark.urlnorm import canonicalize_expr
 
-    dirty = corpus.dirty_urls(spark, SF_DIR).crossJoin(reps)
+    # the crossJoin inherits the small side's single partition — spread the
+    # replicated set across the executor threads (affects both engines
+    # equally; the leg measures canonicalization, not a 1-core ceiling)
+    dirty = (
+        corpus.dirty_urls(spark, SF_DIR).crossJoin(reps)
+        .repartition(CPUS).localCheckpoint(eager=True)
+    )
     timings["url_canonicalize"] = min_of(
         lambda: dirty.select(canonicalize(F.col("raw_url")).alias("c"))
         .where(F.col("c").isNotNull())

@@ -58,6 +58,9 @@ class TV:
     # serialization of the item ('[1,2,{"a":123}]') — the value space stays
     # the seq/map model, this rides along for json output forms
     jtext: Column | None = None
+    # for 'jsonv' values: the STATIC null flavor when known (env-bound
+    # $json); None = runtime-only (sequence elements)
+    jnull: bool | None = None
 
     @property
     def is_seq(self) -> bool:
@@ -74,6 +77,21 @@ class TV:
 
 def _empty_seq(elem_kind: str) -> Column:
     return F.array().cast(f"array<{_SPARK_TYPE.get(elem_kind, 'string')}>")
+
+
+class XQError(ValueError):
+    """a DYNAMIC XQuery error the reference reports to stderr and prints
+    nothing for (e.g. ebv of a multi-item sequence in standard json-mode);
+    the harness emits no output for the action and continues."""
+
+
+def jsonv(variant: Column, nulls_are_items: bool) -> Column:
+    """deep JSON value: struct<v: variant, jn: boolean>. `jn` carries the
+    json-mode null flavor AT RUNTIME (jsoniq/deprecated: null is an item;
+    standard/unified: null accesses are the empty sequence) so values from
+    different parse functions stay distinguishable inside one sequence
+    (jsonmode/*-equals goldens)."""
+    return F.struct(variant.alias("v"), F.lit(nulls_are_items).alias("jn"))
 
 
 class Compiler:
@@ -94,9 +112,11 @@ class Compiler:
         size: Column | None = None,
         funcs: Mapping[str, "P.FuncDecl"] | None = None,
         dot_notation: bool = True,
+        json_mode: str = "unified",
     ):
         self.funcs = dict(funcs or {})
         self.dot_notation = dot_notation
+        self.json_mode = json_mode
         self._call_depth = 0
         self.env = dict(env or {})
         self.nodes = nodes
@@ -106,13 +126,16 @@ class Compiler:
         self.pos = pos
         self.size = size
         # xidel `var := value` extension: assignments recorded here feed
-        # the variable change log (extract/changelog.py)
+        # the variable change log (extract/changelog.py); hidden indexes
+        # were cleared by x:clear-log (varlog goldens)
         self.assignments: list[tuple[str, TV]] = []
+        self.hidden_assignments: set[int] = set()
 
     def bind(self, **kw) -> "Compiler":
         c = Compiler(self.env, self.nodes, self.ctx, self.pos, self.size, self.funcs,
-                     dot_notation=self.dot_notation)
+                     dot_notation=self.dot_notation, json_mode=self.json_mode)
         c.assignments = self.assignments  # shared: nested assigns surface
+        c.hidden_assignments = self.hidden_assignments
         c._call_depth = self._call_depth
         for k, v in kw.items():
             if k == "__ctx":
@@ -196,9 +219,44 @@ class Compiler:
             return F.when(tv.col, F.lit("true")).otherwise(F.lit("false"))
         if tv.kind == "map":
             return F.to_json(tv.col)
+        if tv.kind == "jsonv":
+            if tv.jnull is False:
+                # standard/unified: the top-level array IS a sequence —
+                # atomizing it for a string context is err:XPTY0004
+                # (jsonmode/standard-stringvalue prints nothing)
+                raise XQError("XPTY0004: sequence in string context")
+            return self._jstring(tv.col["v"])
         return tv.col.cast("string")
 
+    def _jstring(self, v: Column, depth: int = 3) -> Column:
+        """string value of a variant: null → 'null', objects → '', arrays
+        concatenate member strings, scalars their lexical form
+        (jsonmode/jsoniq-stringvalue: '[null,{..}]' → 'null')."""
+        base = F.when(v.isNull(), F.lit("")).when(
+            F.coalesce(F.is_variant_null(v), F.lit(False)), F.lit("null")
+        )
+        scalar = F.coalesce(F.try_variant_get(v, "$", "string"), F.lit(""))
+        if depth <= 0:
+            return base.otherwise(scalar)
+        sch = F.schema_of_variant(v)
+        members = F.try_variant_get(v, "$", "array<variant>")
+        arr = F.concat_ws(
+            "", F.transform(members, lambda m: self._jstring(m, depth - 1))
+        )
+        return (
+            base.when(sch.startswith("ARRAY"), arr)
+            .when(sch.startswith("OBJECT") | sch.startswith("STRUCT"), F.lit(""))
+            .otherwise(scalar)
+        )
+
     def ebv(self, tv: TV) -> Column:
+        if tv.kind == "jsonv":
+            if tv.jnull is False:
+                # standard/unified: the 2-item doc array has no ebv —
+                # err:FORG0006 (jsonmode/standard-boolean prints nothing)
+                raise XQError("FORG0006: ebv of a multi-item sequence")
+            v = tv.col["v"]
+            return v.isNotNull() & ~F.coalesce(F.is_variant_null(v), F.lit(False))
         if tv.kind == "map":
             return F.size(F.map_keys(tv.col)) >= 0  # a map item is truthy
         """effective boolean value (XPath 2.0 §2.4.3)."""
@@ -223,6 +281,19 @@ class Compiler:
         if tv.kind == "map":
             # a map is one item; its seq form stringifies (json text)
             return TV(F.array(self.to_string(tv)), "seq:string")
+        if tv.kind == "jsonv":
+            # count semantics per null flavor: absent → 0 always; a json
+            # null is an item only in jsoniq/deprecated (jn=true)
+            v, jn = tv.col["v"], tv.col["jn"]
+            empty = (
+                v.isNull()
+                | (F.coalesce(F.is_variant_null(v), F.lit(False)) & ~jn)
+            )
+            return TV(
+                F.when(empty, _empty_seq("string"))
+                .otherwise(F.array(self._jstring(v))),
+                "seq:string",
+            )
         col = F.when(tv.col.isNull(), _empty_seq(tv.kind)).otherwise(F.array(tv.col))
         return TV(col, f"seq:{tv.kind}")
 
@@ -331,6 +402,10 @@ class Compiler:
         if not n.items:
             return TV(_empty_seq("string"), "seq:string")
         parts = [self.compile(i) for i in n.items]
+        if parts and all(p.kind == "jsonv" for p in parts):
+            # deep-json items keep their struct<v,jn> identity in sequence
+            # (the *-equals goldens iterate parse variants)
+            return TV(F.array(*[p.col for p in parts]), "seq:jsonv")
         parts = [self.atomize_seq(p) if p.kind == "nodes" else p for p in parts]
         elems = {p.elem_kind for p in parts}
         if elems <= {"long"}:
@@ -931,6 +1006,26 @@ class Compiler:
             # '.prop' access disabled (--json-mode standard/jsoniq)
             return TV(_empty_seq("string"), "seq:string")
         base = self.compile(n.base)
+        if base.kind == "jsonv":
+            key = n.key
+            if not isinstance(key, (int, str)):
+                kv = self.compile(key)
+                if isinstance(key, P.Lit):
+                    key = key.value
+                elif kv.kind == "long" and isinstance(n.key, P.Lit):
+                    key = n.key.value
+                else:
+                    raise ValueError("expr: dynamic lookup key on a json value")
+            if isinstance(key, str) and key == "*":
+                raise ValueError("expr: '?*' on a json value")
+            path = f"$[{int(key) - 1}]" if isinstance(key, (int, float)) or (
+                isinstance(key, str) and key.lstrip("-").isdigit()
+            ) else f"$.{key}"
+            v = F.variant_get(base.col["v"], path, "variant")
+            return TV(
+                F.struct(v.alias("v"), base.col["jn"].alias("jn")),
+                "jsonv", jnull=base.jnull,
+            )
         key = n.key
         if base.kind == "map":
             if key == "*":  # libjn:values
@@ -1125,7 +1220,9 @@ class Compiler:
             # constant strings — the only form a static column plan can
             # express (per-row dynamic strings would need a row-wise
             # interpreter; the reference flags eval as trusted-input-only)
-            if len(n.args) == 1 and isinstance(n.args[0], P.Lit) and n.args[0].kind == "string":
+            if n.args and isinstance(n.args[0], P.Lit) and n.args[0].kind == "string":
+                # a second options-map argument ({"language": ...}) selects
+                # the dialect in the reference; one engine compiles both
                 return self.compile(P.parse_expr(n.args[0].value))
             raise ValueError("expr: eval() supports constant strings only")
         args = [self.compile(a) for a in n.args]
@@ -1178,6 +1275,85 @@ class Compiler:
             # trace(value, label): identity on the value (label goes to the
             # reference's stderr log, which the engine does not reproduce)
             return args[0]
+        if local == "json" and len(args) == 1 and args[0].kind != "jsonv":
+            # json(raw): parse with the session json-mode's null flavor
+            flag = self.json_mode in ("jsoniq", "deprecated")
+            return TV(
+                jsonv(F.try_parse_json(self.to_string(args[0])), flag),
+                "jsonv", jnull=flag,
+            )
+        if local == "parse-json" and len(args) == 1:
+            # jn:parse-json keeps nulls as items; fn:parse-json (XPath 3.1)
+            # maps them to the empty sequence (jsonmode/*-equals)
+            flag = name.startswith("jn:")
+            return TV(
+                jsonv(F.try_parse_json(self.to_string(args[0])), flag),
+                "jsonv", jnull=flag,
+            )
+        if local == "keys" and len(args) == 1 and args[0].kind == "jsonv":
+            # '$json()' — keys of an object, members of an array
+            # (readme.txt:150; golden encodingJson: ["aèb"]() -> 'aèb')
+            v = args[0].col["v"]
+            sch = F.schema_of_variant(v)
+            members = F.transform(
+                F.try_variant_get(v, "$", "array<variant>"),
+                lambda m: self._jstring(m),
+            )
+            keys = F.json_object_keys(F.to_json(v))
+            return TV(
+                F.when(sch.startswith("ARRAY"), members)
+                .when(sch.startswith("OBJECT") | sch.startswith("STRUCT"), keys)
+                .otherwise(_empty_seq("string")),
+                "seq:string",
+            )
+        if local == "is-null" and len(args) == 1 and args[0].kind == "jsonv":
+            a = args[0]
+            return TV(
+                F.coalesce(F.is_variant_null(a.col["v"]), F.lit(False)) & a.col["jn"],
+                "bool",
+            )
+        if local == "deep-equal" and len(args) == 2 and \
+                args[0].kind == "jsonv" and args[1].kind == "jsonv":
+            a, b = args
+            return TV(
+                a.col["jn"].eqNullSafe(b.col["jn"])
+                & F.to_json(a.col["v"]).eqNullSafe(F.to_json(b.col["v"])),
+                "bool",
+            )
+        if local == "clear-log":
+            # x:clear-log([name]): hide prior change-log entries — the
+            # compile-order log IS the runtime log in this static model
+            # (assignments append during left-to-right sequence compile)
+            if n.args and isinstance(n.args[0], P.Lit):
+                nm = n.args[0].value
+                for ai, (an, _tv) in enumerate(self.assignments):
+                    if an == nm:
+                        self.hidden_assignments.add(ai)
+            else:
+                self.hidden_assignments.update(range(len(self.assignments)))
+            return TV(_empty_seq("string"), "seq:string")
+        if local == "get-log":
+            visible = [
+                (an, tv) for ai, (an, tv) in enumerate(self.assignments)
+                if ai not in self.hidden_assignments
+            ]
+            if not n.args:  # full log: {"name": .., "value": ..} per entry
+                items = [
+                    F.concat(F.lit('{"name": "' + an + '", "value": '),
+                             self.json_form(tv), F.lit("}"))
+                    for an, tv in visible
+                ]
+                return TV(F.array(*items) if items else _empty_seq("string"),
+                          "seq:string")
+            # per-name: each entry's value as a JSONiq array '[v]'
+            names = sorted({an for an, _ in visible})
+            arg_s = self.to_string(args[0])
+            out = _empty_seq("string")
+            for nm in names:
+                forms = [F.concat(F.lit("["), self.json_form(tv), F.lit("]"))
+                         for an, tv in visible if an == nm]
+                out = F.when(arg_s == nm, F.array(*forms)).otherwise(out)
+            return TV(out, "seq:string")
         sf = getattr(self, "_f_" + local.replace("-", "_"), None)
         if sf is not None:
             return sf(args)
@@ -1221,6 +1397,8 @@ class Compiler:
 
     def _f_count(self, args: list[TV]) -> TV:
         tv = args[0]
+        if tv.kind == "jsonv":
+            tv = self.to_seq(tv)  # null-flavor count semantics
         if tv.is_seq:
             return TV(F.size(tv.col).cast("long"), "long")
         return TV(
@@ -1422,7 +1600,9 @@ class CompiledExpr:
         c = Compiler(env=self._env_with_docs(env), nodes=nodes, ctx=ctx,
                      funcs=self._funcs)
         tv = c.compile(self.ast)
-        log = [(name, c.to_string(v)) for name, v in c.assignments]
+        log = [(name, c.to_string(v))
+               for i, (name, v) in enumerate(c.assignments)
+               if i not in c.hidden_assignments]
         return tv.col, log
 
 

@@ -466,12 +466,19 @@ class Sim:
         p = self.ref_root / path
         if not p.exists():
             return None
-        return self._mkdoc(path, p.read_text(), level, fmt)
+        try:
+            text = p.read_text()
+        except UnicodeDecodeError:
+            text = p.read_text(encoding="latin-1")  # golden encodingJson
+        return self._mkdoc(path, text, level, fmt)
 
     def _mkdoc(self, url: str, markup: str, level: int, fmt: str | None):
         fmt = fmt or self._opt("input-format") or "auto"
         if fmt in ("json", "json-strict") or markup.lstrip()[:1] in ("{", "["):
-            raise Skip("json input")
+            # JSON document: $json binds as a deep variant value; there is
+            # no markup node tree ($raw still carries the bytes)
+            return {"url": url, "markup": markup, "level": level, "nodes": [],
+                    "html": False, "jsonraw": markup}
         is_html = False
         if fmt in ("auto",):
             nodes = _parse_auto_py(markup)
@@ -630,14 +637,23 @@ class Sim:
 
         return re.sub(r"&(#?[xX]?[0-9a-zA-Z]+);", rep, s)
 
-    def _env(self):
-        from ..exprlang.compiler import TV
+    def _json_nulls(self) -> bool:
+        return self._opt("json-mode") in ("jsoniq", "deprecated")
+
+    def _env(self, d=None):
+        from ..exprlang.compiler import TV, jsonv
 
         env = {}
         for name, (shape, value) in self.vars.items():
             env[name] = self._tv_of(shape, value)
         for name, value in self.magic.items():
             env[name] = TV(F.lit(value), "string")
+        if d is not None and d.get("jsonraw") is not None:
+            flag = self._json_nulls()
+            env["json"] = TV(
+                jsonv(F.try_parse_json(F.lit(d["jsonraw"])), flag),
+                "jsonv", jnull=flag,
+            )
         if self.result is not None:
             env["result"] = self._tv_of(*self.result)
         return env
@@ -921,13 +937,20 @@ class Sim:
         except Exception as e:
             raise Skip(f"parse: {e}") from None
         self.funcs.update(ce._funcs)
+        from ..exprlang.compiler import XQError
+
         nodes = self._nodes_col(d)
-        env = self._env()
+        env = self._env(d)
         c = Compiler(env=ce._env_with_docs(env), nodes=nodes,
                      funcs={**self.funcs, **ce._funcs},
-                     dot_notation=self._dot_notation())
+                     dot_notation=self._dot_notation(),
+                     json_mode=str(self._opt("json-mode", "unified")))
         try:
             tv = c.compile(ce.ast)
+        except XQError:
+            # dynamic error: the reference reports to stderr and prints
+            # nothing for the action (standard-mode ebv/atomization)
+            return
         except Exception as e:
             raise Skip(f"compile: {e}") from None
 
@@ -945,6 +968,8 @@ class Sim:
         if c.assignments:
             entries = []
             for j, (name, v) in enumerate(c.assignments):
+                if j in c.hidden_assignments:
+                    continue  # x:clear-log'd entries don't print
                 vals = list(row[f"a{j}"] or [])
                 entries.append((name, vals, akinds[j]))
                 if v.kind == "map" and len(vals) == 1:
