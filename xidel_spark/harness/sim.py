@@ -285,6 +285,16 @@ class Sim:
             base.nextSibling = None
             base = cur
 
+        # single existing-file argument with no actions anywhere: run the
+        # FILE as the query, imports relative to its directory
+        # (xidelbase:3862; golden moduleFuncImportRel tests/subdir/test.xq)
+        if (base.nextSibling is None and not base.actions and base.follow is None
+                and len(base.data) == 1 and isinstance(base.data[0], Source)):
+            pth = self.ref_root / base.data[0].value
+            if not base.data[0].value.lstrip().startswith("<") and pth.is_file()                     and pth.suffix in (".xq", ".xqm", ".xquery"):
+                base.data = []
+                base.actions = [Extraction(pth.read_text(), "xquery", pth.parent)]
+
         self._insert_fictive(base, can_use_stdin=self.stdin is not None)
         return base
 
@@ -841,7 +851,7 @@ class Sim:
             src = act.expr
             if kind in ("xquery", "expr"):
                 src = self._decode_entities(src)
-            self._eval_expr(src, d, kind)
+            self._eval_expr(src, d, kind, base_dir=act.base_dir)
 
     def _nodes_col(self, d):
         col, _roots = nodes_literal_column(d["nodes"])
@@ -927,10 +937,10 @@ class Sim:
             return False
         return kind != "xquery"
 
-    def _eval_expr(self, src: str, d, kind: str = "auto"):
+    def _eval_expr(self, src: str, d, kind: str = "auto", base_dir=None):
         from ..exprlang.compiler import Compiler
 
-        src = self._hoist_imports(src)
+        src = self._hoist_imports(src, base_dir=base_dir)
         src = self._hoist_var_declares(src, d)
         try:
             ce = compile_expr(src, json_literals=self._json_literals_for(kind))
@@ -977,6 +987,14 @@ class Sim:
                 else:
                     self.vars[name] = ("seq", vals) if len(vals) != 1 else ("string", vals[0])
             self._emit(entries, "vars")
+            if ":=" not in src:
+                # assignments surfaced only from NESTED function bodies:
+                # the reference's termContainsVariableDefinition misses
+                # them, so the result value ALSO prints and $result is set
+                # (golden moduleFuncImportGlobalMut)
+                vals = list(row["r"] or [])
+                self._emit([("result", vals, rkind)])
+                self.result = ("seq", vals) if len(vals) != 1 else ("string", vals[0])
         else:
             vals = list(row["r"] or [])
             self._emit([("result", vals, rkind)])
