@@ -283,16 +283,17 @@ class Compiler:
             return TV(F.array(self.to_string(tv)), "seq:string")
         if tv.kind == "jsonv":
             # count semantics per null flavor: absent → 0 always; a json
-            # null is an item only in jsoniq/deprecated (jn=true)
+            # null is an item only in jsoniq/deprecated (jn=true). The seq
+            # keeps the struct identity; atomize_seq stringifies.
             v, jn = tv.col["v"], tv.col["jn"]
             empty = (
                 v.isNull()
                 | (F.coalesce(F.is_variant_null(v), F.lit(False)) & ~jn)
             )
             return TV(
-                F.when(empty, _empty_seq("string"))
-                .otherwise(F.array(self._jstring(v))),
-                "seq:string",
+                F.when(empty, F.array().cast("array<struct<v:variant,jn:boolean>>"))
+                .otherwise(F.array(tv.col)),
+                "seq:jsonv",
             )
         col = F.when(tv.col.isNull(), _empty_seq(tv.kind)).otherwise(F.array(tv.col))
         return TV(col, f"seq:{tv.kind}")
@@ -303,7 +304,16 @@ class Compiler:
             return TV(
                 F.transform(tv.col, lambda i: self._node_text(i, tv)), "seq:string"
             )
-        return self.to_seq(tv)
+        if tv.kind == "seq:jsonv":
+            return TV(
+                F.transform(tv.col, lambda e: self._jstring(e["v"])), "seq:string"
+            )
+        out = self.to_seq(tv)
+        if out.kind == "seq:jsonv":
+            return TV(
+                F.transform(out.col, lambda e: self._jstring(e["v"])), "seq:string"
+            )
+        return out
 
     # -- dispatch -------------------------------------------------------------
 
@@ -363,6 +373,8 @@ class Compiler:
         return TV(ids, "nodes", backing=backing)
 
     def _c_pathroot(self, n: P.PathRoot) -> TV:
+        if self.ctx is not None and self.ctx.kind == "jsonv":
+            return self._json_path(self.ctx, n.path)
         backing = self._backing(self.ctx if self.ctx is not None else None)
         root = self.ctx.col if (self.ctx and self.ctx.kind == "nodes") else F.array(
             F.lit(0).cast("int")
@@ -371,10 +383,74 @@ class Compiler:
 
     def _c_pathapply(self, n: P.PathApply) -> TV:
         base = self.compile(n.base)
+        if base.kind == "jsonv":
+            return self._json_path(base, n.path)
         if base.kind != "nodes":
             raise ValueError("expr: '/' step applied to a non-node value")
         backing = self._backing(base)
         return self._path_value(_eval_steps(backing, base.col, n.path), n.path, backing)
+
+    # -- json path navigation (readme.txt:147-149; golden
+    #    inputformatAutoJson: '(. / f, . // property)' over a json doc) ----
+
+    @staticmethod
+    def _json_members(v: Column) -> Column:
+        """children of a json value: array members, or object field
+        values (objects enumerate via a map<string,variant> cast —
+        variant_get paths must be constant, so keys can't be walked)."""
+        return F.coalesce(
+            F.try_variant_get(v, "$", "array<variant>"),
+            F.map_values(F.try_variant_get(v, "$", "map<string,variant>")),
+            F.array().cast("array<variant>"),
+        )
+
+    def _json_descend(self, v: Column, name: str, depth: int = 4) -> Column:
+        """array<variant> of every `name` field in document order, any
+        depth up to the static bound (json documents in the fixtures are
+        shallow; the bound is an expression-size ceiling, not a scan)."""
+        own = F.try_variant_get(v, f"$.{name}", "variant")
+        here = F.when(own.isNotNull(), F.array(own)).otherwise(
+            F.array().cast("array<variant>")
+        )
+        if depth <= 0:
+            return here
+        below = F.flatten(
+            F.transform(self._json_members(v),
+                        lambda m: self._json_descend(m, name, depth - 1))
+        )
+        return F.concat(here, below)
+
+    def _json_path(self, base: TV, path) -> TV:
+        jn = base.col["jn"]
+        cur = F.array(base.col["v"])  # array<variant> working set
+        for step in path.steps:
+            if step.test in ("node()",) and step.axis in ("self",):
+                continue
+            if step.preds or step.test.startswith("#") or step.test == "*":
+                raise ValueError("expr: unsupported json path step")
+            if step.axis == "child":
+                cur = F.flatten(F.transform(
+                    cur,
+                    lambda v: F.coalesce(
+                        F.when(
+                            F.try_variant_get(v, f"$.{step.test}", "variant").isNotNull(),
+                            F.array(F.try_variant_get(v, f"$.{step.test}", "variant")),
+                        ),
+                        F.array().cast("array<variant>"),
+                    ),
+                ))
+            elif step.axis in ("descendant", "descendant-or-self"):
+                cur = F.flatten(F.transform(
+                    cur, lambda v: self._json_descend(v, step.test)
+                ))
+            else:
+                raise ValueError(f"expr: unsupported json axis {step.axis!r}")
+        if path.attr is not None:
+            raise ValueError("expr: '@' on a json value")
+        return TV(
+            F.transform(cur, lambda v: F.struct(v.alias("v"), jn.alias("jn"))),
+            "seq:jsonv",
+        )
 
     # -- sequences --------------------------------------------------------------
 
@@ -402,10 +478,13 @@ class Compiler:
         if not n.items:
             return TV(_empty_seq("string"), "seq:string")
         parts = [self.compile(i) for i in n.items]
-        if parts and all(p.kind == "jsonv" for p in parts):
+        if parts and all(p.kind in ("jsonv", "seq:jsonv") for p in parts):
             # deep-json items keep their struct<v,jn> identity in sequence
-            # (the *-equals goldens iterate parse variants)
-            return TV(F.array(*[p.col for p in parts]), "seq:jsonv")
+            # (the *-equals goldens iterate parse variants; json path
+            # results concatenate — inputformatAutoJson)
+            cols = [p.col if p.kind == "seq:jsonv" else self.to_seq(p).col
+                    for p in parts]
+            return TV(F.concat(*cols), "seq:jsonv")
         parts = [self.atomize_seq(p) if p.kind == "nodes" else p for p in parts]
         elems = {p.elem_kind for p in parts}
         if elems <= {"long"}:

@@ -878,6 +878,19 @@ class Sim:
 
         if v.kind == "map":
             return F.array(c.json_form(v)), "json"
+        if v.kind in ("jsonv", "seq:jsonv"):
+            seq = c.to_seq(v) if v.kind == "jsonv" else v
+
+            def pone(e):
+                vv = e["v"]
+                sch = F.schema_of_variant(vv)
+                return F.when(
+                    sch.startswith("ARRAY") | sch.startswith("OBJECT")
+                    | sch.startswith("STRUCT"),
+                    F.to_json(vv),
+                ).otherwise(c._jstring(vv))
+
+            return F.transform(seq.col, pone), "json"
         if v.kind == "xmlstr" and self._pnf() == "xml":
             # computed-constructor results are already serialized markup —
             # raw node items, never escaped (linebreaksXMLOutput goldens)
@@ -951,7 +964,10 @@ class Sim:
 
         nodes = self._nodes_col(d)
         env = self._env(d)
-        c = Compiler(env=ce._env_with_docs(env), nodes=nodes,
+        # json documents bind '.' to the $json value (deep navigation:
+        # '. / f', '. // property' — golden inputformatAutoJson)
+        ctx = env.get("json") if d.get("jsonraw") is not None else None
+        c = Compiler(env=ce._env_with_docs(env), nodes=nodes, ctx=ctx,
                      funcs={**self.funcs, **ce._funcs},
                      dot_notation=self._dot_notation(),
                      json_mode=str(self._opt("json-mode", "unified")))
@@ -1189,7 +1205,10 @@ class Sim:
             plain = hide or names <= {"result"}
             for name, vals, k in g["entries"]:
                 if k == "json":
-                    style = "spaced" if g["kind"] == "vars" else "pretty"
+                    # single top-level json values pretty-print; items in a
+                    # multi-item result stay inline (inputformatAutoJson)
+                    style = ("spaced" if g["kind"] == "vars" or len(vals) != 1
+                             else "pretty")
                     vals = [self._jfmt(v, style) for v in vals]
                 if k == "node" and self._opt("output-node-indent"):
                     vals = [self._indent_markup(v) for v in vals]
