@@ -477,7 +477,15 @@ class Compiler:
     def _c_seqexpr(self, n: P.SeqExpr) -> TV:
         if not n.items:
             return TV(_empty_seq("string"), "seq:string")
-        parts = [self.compile(i) for i in n.items]
+        parts = []
+        for item in n.items:
+            before = len(self.assignments)
+            parts.append(self.compile(item))
+            # assignments surfaced while compiling this item (e.g. inside
+            # an inlined function body) bind for LATER items — golden
+            # moduleFuncImportGlobalMut2: setglobal(), "xx:" || $newglobal
+            for an, atv in self.assignments[before:]:
+                self.env[an] = atv
         if parts and all(p.kind in ("jsonv", "seq:jsonv") for p in parts):
             # deep-json items keep their struct<v,jn> identity in sequence
             # (the *-equals goldens iterate parse variants; json path
@@ -1354,6 +1362,15 @@ class Compiler:
             # trace(value, label): identity on the value (label goes to the
             # reference's stderr log, which the engine does not reproduce)
             return args[0]
+        if local == "doc" and n.args and isinstance(n.args[0], P.Lit) \
+                and getattr(self, "doc_loader", None) is not None:
+            loaded = self.doc_loader(str(n.args[0].value))
+            if loaded is not None:
+                backing, roots = loaded
+                return TV(
+                    F.array(*[F.lit(r).cast("int") for r in roots]),
+                    "nodes", backing=backing,
+                )
         if local == "json" and len(args) == 1 and args[0].kind != "jsonv":
             # json(raw): parse with the session json-mode's null flavor
             flag = self.json_mode in ("jsoniq", "deprecated")

@@ -666,6 +666,12 @@ class Sim:
             )
         if self.result is not None:
             env["result"] = self._tv_of(*self.result)
+        elif "result" not in env:
+            # unset $result is the empty sequence, not an unbound-variable
+            # error (multipageChoose4's golden is empty output); a
+            # VARIABLE named result (multipage <variable name="result">)
+            # wins over the magic default
+            env["result"] = TV(F.array().cast("array<string>"), "seq:string")
         return env
 
     def _tv_of(self, shape, value):
@@ -774,6 +780,17 @@ class Sim:
             elif tag == "if":
                 if self._mp_test(attrs):
                     self._mp_steps(nodes, n["id"], base_dir)
+            elif tag == "choose":
+                # first <when test> that passes runs; else <otherwise>
+                # (goldens multipageChoose*)
+                for c in self._mp_children(nodes, n["id"]):
+                    cattrs = c.get("attrs") or {}
+                    if c["tag"] == "when" and self._mp_test(cattrs):
+                        self._mp_steps(nodes, c["id"], base_dir)
+                        break
+                    if c["tag"] == "otherwise":
+                        self._mp_steps(nodes, c["id"], base_dir)
+                        break
             elif tag == "variable":
                 vname = attrs.get("name")
                 if vname and self._mp_test(attrs):
@@ -940,6 +957,17 @@ class Sim:
             return str(self.opts["dot-notation"]) not in ("off", "false")
         return self._opt("json-mode") not in ("standard", "jsoniq")
 
+    def _doc_loader(self, ref: str):
+        """fn:doc with a constant path — compile-time literal node array
+        (golden regression_doclocal)."""
+        from ..extract.nodes import nodes_literal_column
+
+        p = self.ref_root / ref
+        if not p.exists():
+            return None
+        d = self._mkdoc(str(p), p.read_text(), 0, None)
+        return nodes_literal_column(d["nodes"])
+
     def _json_literals_for(self, kind: str) -> bool:
         """true/false/null word literals: off in --json-mode standard, off
         for --xquery strings, --no-json-literals[=false] overrides
@@ -950,10 +978,53 @@ class Sim:
             return False
         return kind != "xquery"
 
+    _JMUT = re.compile(
+        r"^\s*(?:\(\$json\)\.(\w+)"                  # ($json).key
+        r"|\$json\(\s*\"(\w+)\"\s*\)"                # $json("key")
+        r"|\$json((?:\?\w+)+))"                      # $json?1?c
+        r"\s*:=\s*(.+?)\s*$"
+    )
+
+    def _try_json_mutation(self, src: str, d) -> bool:
+        """'$json(\"a\") := 12, ...' — property changes on the (static)
+        json document; the reference reprints the mutated $json pretty
+        WITHOUT a name prefix (goldens jsonassign/jsonmultiassign/
+        jsonassignarray). Whole-value '$json := ..' stays a normal
+        assignment."""
+        if d.get("jsonraw") is None or "$json" not in src or ":=" not in src:
+            return False
+        stmts = [p for p in src.split(",") if p.strip()]
+        muts = []
+        for p in stmts:
+            m = self._JMUT.match(p)
+            if m is None:
+                return False
+            key = m.group(1) or m.group(2)
+            path = [key] if key else [
+                int(seg) - 1 if seg.isdigit() else seg
+                for seg in m.group(3).strip("?").split("?")
+            ]
+            try:
+                value = json.loads(m.group(4))
+            except json.JSONDecodeError:
+                return False
+            muts.append((path, value))
+        doc = json.loads(d["jsonraw"])
+        for path, value in muts:
+            cur = doc
+            for seg in path[:-1]:
+                cur = cur[seg]
+            last = path[-1]
+            cur[last] = value
+        self._emit([("result", [json.dumps(doc, separators=(",", ":"))], "json")])
+        return True
+
     def _eval_expr(self, src: str, d, kind: str = "auto", base_dir=None):
         from ..exprlang.compiler import Compiler
 
         src = self._hoist_imports(src, base_dir=base_dir)
+        if self._try_json_mutation(src, d):
+            return
         src = self._hoist_var_declares(src, d)
         try:
             ce = compile_expr(src, json_literals=self._json_literals_for(kind))
@@ -971,6 +1042,7 @@ class Sim:
                      funcs={**self.funcs, **ce._funcs},
                      dot_notation=self._dot_notation(),
                      json_mode=str(self._opt("json-mode", "unified")))
+        c.doc_loader = self._doc_loader
         try:
             tv = c.compile(ce.ast)
         except XQError:
