@@ -61,6 +61,8 @@ class TV:
     # for 'jsonv' values: the STATIC null flavor when known (env-bound
     # $json); None = runtime-only (sequence elements)
     jnull: bool | None = None
+    # constructor type for --print-type-annotations ('xs:int' etc.)
+    atype: str | None = None
 
     @property
     def is_seq(self) -> bool:
@@ -113,10 +115,12 @@ class Compiler:
         funcs: Mapping[str, "P.FuncDecl"] | None = None,
         dot_notation: bool = True,
         json_mode: str = "unified",
+        annotate: bool = False,
     ):
         self.funcs = dict(funcs or {})
         self.dot_notation = dot_notation
         self.json_mode = json_mode
+        self.annotate = annotate
         self._call_depth = 0
         self.env = dict(env or {})
         self.nodes = nodes
@@ -133,7 +137,8 @@ class Compiler:
 
     def bind(self, **kw) -> "Compiler":
         c = Compiler(self.env, self.nodes, self.ctx, self.pos, self.size, self.funcs,
-                     dot_notation=self.dot_notation, json_mode=self.json_mode)
+                     dot_notation=self.dot_notation, json_mode=self.json_mode,
+                     annotate=self.annotate)
         c.assignments = self.assignments  # shared: nested assigns surface
         c.hidden_assignments = self.hidden_assignments
         c._call_depth = self._call_depth
@@ -474,6 +479,19 @@ class Compiler:
             return F.transform(seq.col, lambda x: self.to_string(TV(x, ek)))
         return F.transform(seq.col, lambda x: x.cast(_SPARK_TYPE[kind]))
 
+    def ann_string(self, tv: TV) -> Column:
+        """--print-type-annotations form of one item: constructor-typed
+        values as T("lexical"), strings quoted with '"' doubled,
+        numbers/booleans plain (goldens adhoc11/adhoc9b/bash-escape7)."""
+        s = self.to_string(tv)
+        if tv.atype:
+            return F.concat(F.lit(tv.atype + '("'), s, F.lit('")'))
+        if tv.kind in ("string", "any", "nodes", "xmlstr"):
+            return F.concat(
+                F.lit('"'), F.replace(s, F.lit('"'), F.lit('""')), F.lit('"')
+            )
+        return s
+
     def _c_seqexpr(self, n: P.SeqExpr) -> TV:
         if not n.items:
             return TV(_empty_seq("string"), "seq:string")
@@ -493,6 +511,22 @@ class Compiler:
             cols = [p.col if p.kind == "seq:jsonv" else self.to_seq(p).col
                     for p in parts]
             return TV(F.concat(*cols), "seq:jsonv")
+        if self.annotate:
+            # annotated element strings, marked so printers don't re-quote
+            out = []
+            for p in parts:
+                if p.is_seq:
+                    seq = self.atomize_seq(p)
+                    ek = "string" if p.kind == "nodes" else seq.elem_kind
+                    out.append(F.transform(
+                        seq.col, lambda x: self.ann_string(TV(x, ek))
+                    ))
+                else:
+                    a = self.ann_string(p)
+                    out.append(
+                        F.when(a.isNull(), _empty_seq("string")).otherwise(F.array(a))
+                    )
+            return TV(F.concat(*out), "seq:string", atype="__annotated__")
         parts = [self.atomize_seq(p) if p.kind == "nodes" else p for p in parts]
         elems = {p.elem_kind for p in parts}
         if elems <= {"long"}:
@@ -1245,6 +1279,19 @@ class Compiler:
         except KeyError:
             raise ValueError(f"expr: unsupported cast target {t!r}") from None
 
+    # xs constructor result kinds (numeric facets format like their
+    # primitive: xs:float(10) prints '10', not '10.0' — golden adhoc11)
+    _XS_KINDS = {
+        "float": "double", "double": "double", "decimal": "double",
+        "numeric": "double",
+        "integer": "long", "int": "long", "long": "long", "short": "long",
+        "byte": "long", "unsignedByte": "long", "unsignedShort": "long",
+        "unsignedInt": "long", "unsignedLong": "long",
+        "nonNegativeInteger": "long", "nonPositiveInteger": "long",
+        "negativeInteger": "long", "positiveInteger": "long",
+        "boolean": "bool",
+    }
+
     # registry functions whose return shape the static typer should know
     # (sequence-valued returns would otherwise degrade to scalar 'any',
     # breaking count()/'!'/existential semantics downstream)
@@ -1465,11 +1512,13 @@ class Compiler:
             else:
                 cols.append(a.col)
         kind = "any"
+        atype = None
         if ":" not in name or name.startswith("fn:"):
             kind = self._REGISTRY_KINDS.get(local, "any")
         elif name.startswith("xs:"):
-            kind = "any"
-        return TV(fn(*cols), kind)
+            kind = self._XS_KINDS.get(local, "any")
+            atype = name
+        return TV(fn(*cols), kind, atype=atype)
 
     # special forms: functions whose semantics need the typed value model
     def _f_string(self, args: list[TV]) -> TV:

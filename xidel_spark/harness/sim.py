@@ -930,6 +930,17 @@ class Sim:
             if self._opt("output-format") == "html":
                 col = F.transform(col, lambda s: self._html_unclose(s))
             return col, "node"
+        if getattr(c, "annotate", False):
+            if v.is_seq:
+                if getattr(v, "atype", None) == "__annotated__":
+                    return v.col, "annstr"  # elements already annotated
+                seq = c.atomize_seq(v)
+                ek = "string" if v.kind == "nodes" else seq.elem_kind
+                return F.transform(
+                    seq.col, lambda x: c.ann_string(TV(x, ek))
+                ), "annstr"
+            a = c.ann_string(v)
+            return F.when(a.isNull(), _empty_seq("string")).otherwise(F.array(a)), "annstr"
         if v.is_seq:
             seq = c.atomize_seq(v)
             ekind = self._EKIND.get(seq.elem_kind, "str")
@@ -1038,10 +1049,15 @@ class Sim:
         # json documents bind '.' to the $json value (deep navigation:
         # '. / f', '. // property' — golden inputformatAutoJson)
         ctx = env.get("json") if d.get("jsonraw") is not None else None
+        ann = bool(self._opt("print-type-annotations")) and str(
+            self._opt("output-format", "adhoc")
+        ) not in ("xml-wrapped", "json-wrapped", "json")
+        self._compiler_annotated = ann
         c = Compiler(env=ce._env_with_docs(env), nodes=nodes, ctx=ctx,
                      funcs={**self.funcs, **ce._funcs},
                      dot_notation=self._dot_notation(),
-                     json_mode=str(self._opt("json-mode", "unified")))
+                     json_mode=str(self._opt("json-mode", "unified")),
+                     annotate=ann)
         c.doc_loader = self._doc_loader
         try:
             tv = c.compile(ce.ast)
@@ -1278,10 +1294,19 @@ class Sim:
             for name, vals, k in g["entries"]:
                 if k == "json":
                     # single top-level json values pretty-print; items in a
-                    # multi-item result stay inline (inputformatAutoJson)
-                    style = ("spaced" if g["kind"] == "vars" or len(vals) != 1
-                             else "pretty")
-                    vals = [self._jfmt(v, style) for v in vals]
+                    # multi-item result stay inline (inputformatAutoJson);
+                    # with type annotations arrays print inline-spaced but
+                    # objects stay pretty (adhoc11)
+                    if getattr(self, "_compiler_annotated", False):
+                        vals = [
+                            self._jfmt(v, "spaced" if v.lstrip().startswith("[")
+                                       else "pretty")
+                            for v in vals
+                        ]
+                    else:
+                        style = ("spaced" if g["kind"] == "vars" or len(vals) != 1
+                                 else "pretty")
+                        vals = [self._jfmt(v, style) for v in vals]
                 if k == "node" and self._opt("output-node-indent"):
                     vals = [self._indent_markup(v) for v in vals]
                 if plain:
@@ -1305,16 +1330,19 @@ class Sim:
                 if not vals:
                     entries2.append((n, ["()"], "str"))
                     continue
-                if k in ("str", "node"):
+                if k == "str":
                     # quote with '"', double embedded '"'; backslashes are
                     # NOT escapes in XPath strings and stay as-is
                     # (bash-escape7: concat('"',"'",'\\') -> """'\\")
                     vals = ['"' + v.replace('"', '""') + '"' for v in vals]
+                # 'annstr' values were annotated at compile time; 'json'
+                # and raw 'node' markup keep their kinds for per-format
+                # rendering (adhoc11 / xmlraw11)
                 if parens and len(vals) > 1:
                     vals = (["(" + vals[0] + ", "]
                             + [v + ", " for v in vals[1:-1]]
                             + [vals[-1] + ")"])
-                entries2.append((n, vals, "str"))
+                entries2.append((n, vals, k if k in ("json", "node") else "str"))
             out.append({**g, "entries": entries2})
         return out
 
@@ -1540,7 +1568,12 @@ class Sim:
                 wrapper = True
             for n, vals, k in g["entries"]:
                 if k == "json":
-                    vals = [self._jfmt(v, "pretty") for v in vals]
+                    if getattr(self, "_compiler_annotated", False):
+                        # annotations: arrays inline-spaced, objects pretty
+                        vals = [self._jfmt(v, "spaced" if v.lstrip().startswith("[")
+                                           else "pretty") for v in vals]
+                    else:
+                        vals = [self._jfmt(v, "pretty") for v in vals]
                 if k == "node" and self._opt("output-node-indent"):
                     vals = [self._indent_markup(v, html=(fmt == "html")) for v in vals]
                 if plain:
