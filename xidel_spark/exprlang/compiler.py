@@ -63,6 +63,12 @@ class TV:
     jnull: bool | None = None
     # constructor type for --print-type-annotations ('xs:int' etc.)
     atype: str | None = None
+    # STATIC container contents for literal maps/arrays whose keys are
+    # constants: dict[str, TV] | list[TV]. Lets heterogeneous values
+    # (node sets, empty sequences, ranges) survive inside containers —
+    # the runtime col remains the string-typed degradation
+    # (jsonmode/standard golden: map {"b": $x} → name(root($o?b)))
+    static_items: object | None = None
 
     @property
     def is_seq(self) -> bool:
@@ -1106,27 +1112,118 @@ class Compiler:
             F.concat_ws(",", *jparts) if jparts else F.lit(""),
             F.lit("}"),
         )
+        static = None
+        if all(isinstance(k, P.Lit) and k.kind == "string" for k, _v in n.pairs):
+            static = {}
+            for k, vast in n.pairs:
+                tv = self.compile(vast)
+                empty_lit = (isinstance(vast, P.SeqExpr)
+                             and not isinstance(vast, P.ArrayLit)
+                             and not vast.items)
+                if self.json_mode == "jsoniq":
+                    # JSONiq objects: () becomes a null ITEM, nodes are
+                    # COPIED (detached — root() is the node itself), and
+                    # sequences collapse to one array item
+                    # (jsonmode/jsoniq golden: 1 / b / 1)
+                    if empty_lit:
+                        tv = TV(F.array(F.lit("null")), "seq:string")
+                    elif tv.kind == "nodes":
+                        tv = TV(tv.col, tv.kind, backing=tv.backing,
+                                atype="__detached__")
+                    elif tv.is_seq:
+                        tv = TV(tv.col, tv.kind, backing=tv.backing,
+                                atype="__arritem__")
+                # deprecated objects keep standard map semantics (the
+                # golden's count($o?c) = 2); only the ARRAY constructor
+                # flattens in deprecated mode
+                static[k.value] = tv
         return TV(
             F.create_map(*kv) if kv else F.create_map().cast("map<string,string>"),
             "map",
             jtext=jtext,
+            static_items=static,
         )
 
     def _c_arraylit(self, n) -> TV:
         base = self._c_seqexpr(n)
-        jparts = [self.json_form(self.compile(i)) for i in n.items]
+        items = [self.compile(i) for i in n.items]
+        if self.json_mode in ("jsoniq", "deprecated"):
+            # JSONiq/deprecated array constructors FLATTEN: () vanishes,
+            # static ranges expand to members (jsonmode/jsoniq: size 4)
+            flat: list[TV] | None = []
+            for iast, tv in zip(n.items, items):
+                if (isinstance(iast, P.SeqExpr) and not isinstance(iast, P.ArrayLit)
+                        and not iast.items):
+                    continue
+                if isinstance(iast, P.RangeExpr) and isinstance(iast.lo, P.Lit) \
+                        and isinstance(iast.hi, P.Lit):
+                    for v in range(int(iast.lo.value), int(iast.hi.value) + 1):
+                        flat.append(TV(F.lit(v), "long"))
+                    continue
+                if tv.kind == "nodes" and self.json_mode == "jsoniq":
+                    tv = TV(tv.col, tv.kind, backing=tv.backing,
+                            atype="__detached__")
+                if tv.is_seq and tv.kind != "nodes":
+                    flat = None  # dynamic sequence: no static flattening
+                    break
+                flat.append(tv)
+            if flat is not None:
+                jparts2 = [self.json_form(t) for t in flat]
+                return TV(
+                    base.col, base.kind, backing=base.backing,
+                    jtext=F.concat(F.lit("["), F.concat_ws(",", *jparts2)
+                                   if jparts2 else F.lit(""), F.lit("]")),
+                    static_items=flat,
+                )
+        jparts = [self.json_form(t) for t in items]
         jtext = F.concat(
             F.lit("["),
             F.concat_ws(",", *jparts) if jparts else F.lit(""),
             F.lit("]"),
         )
-        return TV(base.col, base.kind, backing=base.backing, jtext=jtext)
+        return TV(base.col, base.kind, backing=base.backing, jtext=jtext,
+                  static_items=items)
 
     def _c_lookup(self, n: P.Lookup) -> TV:
         if n.dot and not self.dot_notation:
             # '.prop' access disabled (--json-mode standard/jsoniq)
             return TV(_empty_seq("string"), "seq:string")
         base = self.compile(n.base)
+        if base.static_items is not None:
+            key = n.key
+            if isinstance(key, P.Lit):
+                key = key.value
+            if isinstance(base.static_items, dict) and isinstance(key, str) \
+                    and key != "*":
+                hit = base.static_items.get(key)
+                return hit if hit is not None else TV(_empty_seq("string"), "seq:string")
+            if isinstance(base.static_items, list):
+                if isinstance(key, (int, float)):
+                    i = int(key)
+                    if 1 <= i <= len(base.static_items):
+                        return base.static_items[i - 1]
+                    return TV(_empty_seq("string"), "seq:string")
+                if not isinstance(key, str):
+                    # dynamic index over a static array: per-item atomized
+                    # string sequences behind a position CASE (enough for
+                    # count()/string contexts — jsonmode/standard's
+                    # (1 to 3) ! count($a(.)))
+                    idx = self.to_long(self.compile(key))
+
+                    def _to_strs(seq):
+                        # closure factory — a defaulted lambda arg would
+                        # receive transform's INDEX column instead
+                        ek = seq.elem_kind
+                        if ek == "string":
+                            return seq.col
+                        return F.transform(seq.col, lambda x: self.to_string(TV(x, ek)))
+
+                    out = _empty_seq("string")
+                    for i, item in enumerate(base.static_items):
+                        seq = self.atomize_seq(item) if item.is_seq \
+                            else self.to_seq(item)
+                        out = F.when(idx == i + 1, _to_strs(seq)).otherwise(out)
+                    return TV(out, "seq:string")
         if base.kind == "jsonv":
             key = n.key
             if not isinstance(key, (int, str)):
@@ -1463,6 +1560,42 @@ class Compiler:
                 & F.to_json(a.col["v"]).eqNullSafe(F.to_json(b.col["v"])),
                 "bool",
             )
+        if local == "size" and args and args[0].static_items is not None \
+                and isinstance(args[0].static_items, list):
+            # array:size over a static array literal (jsonmode/standard)
+            return TV(F.lit(len(args[0].static_items)).cast("long"), "long")
+        if local == "root" and args and args[0].kind != "nodes":
+            # root of a non-node / empty value: the empty sequence
+            # (jsonmode/default: name(root($a(1))) over () prints '')
+            return TV(_empty_seq("string"), "seq:string")
+        if local == "root" and args and args[0].atype == "__detached__":
+            # a COPIED node (JSONiq object/array member) roots at itself
+            return args[0]
+        if local == "root" and args and args[0].kind == "nodes":
+            # root(node): the tree's root ELEMENT (fragment literals root
+            # at their top element — name(root(<a><b/></a>//b)) = 'a')
+            src = args[0]
+            backing = self._backing(src)
+            root_el = F.try_element_at(
+                F.filter(
+                    backing,
+                    lambda nd: (nd["parent"] <= 0) & ~nd["tag"].startswith("#"),
+                ),
+                F.lit(1),
+            )
+            rid = F.coalesce(root_el["id"], F.lit(0))
+            return TV(F.array(rid.cast("int")), "nodes", backing=backing)
+        if local == "name" and args:
+            if args[0].kind != "nodes":
+                return TV(F.lit(""), "string")  # name(()) = ''
+            first = F.try_element_at(args[0].col, F.lit(1))
+            backing = self._backing(args[0])
+            tag = F.element_at(backing, first.cast("int") + 1)["tag"]
+            return TV(
+                F.when(first.isNull() | tag.startswith("#"), F.lit(""))
+                .otherwise(tag),
+                "string",
+            )
         if local == "clear-log":
             # x:clear-log([name]): hide prior change-log entries — the
             # compile-order log IS the runtime log in this static model
@@ -1542,6 +1675,8 @@ class Compiler:
 
     def _f_count(self, args: list[TV]) -> TV:
         tv = args[0]
+        if tv.atype == "__arritem__":
+            return TV(F.lit(1).cast("long"), "long")  # a collapsed array item
         if tv.kind == "jsonv":
             tv = self.to_seq(tv)  # null-flavor count semantics
         if tv.is_seq:

@@ -150,7 +150,9 @@ def serialize_document(
     elif wrapper_footer is not None:
         parts.append(wrapper_footer)
     else:
-        if not body.endswith("\n"):
+        # one line ending per item: a trailing EMPTY item still gets its
+        # own line (jsonmode/default's final name(()) prints a blank line)
+        if items:
             parts.append("\n")
     return "".join(parts)
 
