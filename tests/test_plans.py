@@ -147,3 +147,20 @@ def test_expression_queries_plan_shape(spark):
         schema = plan.split("ReadSchema")[1][:120]
         for c in cols.split(",")[:2]:
             assert c.split(":")[0] in schema, (q.__name__, c, schema)
+
+
+def test_instance_of_dynamic_plan_shape(spark):
+    """round-4 dynamic type tests: the xs lexical-lattice checks compile
+    to pure per-row Catalyst — zero Python nodes, zero exchanges,
+    whole-stage codegen, pruned scan."""
+    from xidel_spark.queries_expr import q_instance_of_dynamic
+
+    plan = (
+        q_instance_of_dynamic(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") == 0
+    assert plan.count("*(") >= 1  # whole-stage codegen spans
+    schema = plan.split("ReadSchema")[1][:160]
+    assert "o_orderkey" in schema and "o_totalprice" not in schema
