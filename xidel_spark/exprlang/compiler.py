@@ -1716,6 +1716,18 @@ class Compiler:
 
     def _f_sum(self, args: list[TV]) -> TV:
         seq = self.atomize_seq(args[0])
+        if seq.elem_kind == "long":
+            # xs:integer arithmetic stays integer (xidelbase.pas sum over
+            # integer sequences); a double seed would turn sum((0)) into
+            # 0.0 and poison downstream -0 serialization. xs:integer is
+            # arbitrary-precision in the reference; we document the
+            # 64-bit envelope.
+            col = F.aggregate(
+                seq.col,
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + F.coalesce(x.cast("long"), F.lit(0).cast("long")),
+            )
+            return TV(col, "long")
         col = F.aggregate(
             seq.col,
             F.lit(0.0),
