@@ -33,8 +33,11 @@ def main(argv: list[str] | None = None) -> int:
     from xidel_spark.harness.sim import Sim, Skip
     from xidel_spark.session import get_spark
 
+    # only consume stdin when the invocation actually references it ('-'
+    # as an input/expression) — an open-but-idle stdin from a script
+    # runner must not block the process
     stdin = None
-    if not sys.stdin.isatty():
+    if "-" in argv and not sys.stdin.isatty():
         try:
             stdin = sys.stdin.read()
         except Exception:  # noqa: BLE001

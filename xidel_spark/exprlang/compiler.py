@@ -23,6 +23,7 @@ the full string value on each node row).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Mapping
 
@@ -34,6 +35,13 @@ from ..functions.collation import collation_key_expr
 from . import parser as P
 
 NUM_KINDS = {"long", "double"}
+
+# Static recursion bound for JSON tree walks (_jstring / _json_descend).
+# Catalyst has no recursion, so nesting unrolls into the expression tree;
+# the bound is an expression-SIZE ceiling, not a row scan. Walks that
+# would truncate raise at runtime instead of returning silently
+# incomplete results; deep corpora raise the bound via this env knob.
+JSON_DEPTH = int(os.environ.get("XIDEL_SPARK_JSON_DEPTH", "6"))
 _SPARK_TYPE = {
     "long": "bigint",
     "double": "double",
@@ -239,16 +247,32 @@ class Compiler:
             return self._jstring(tv.col["v"])
         return tv.col.cast("string")
 
-    def _jstring(self, v: Column, depth: int = 3) -> Column:
+    def _jstring(self, v: Column, depth: int | None = None) -> Column:
         """string value of a variant: null → 'null', objects → '', arrays
         concatenate member strings, scalars their lexical form
-        (jsonmode/jsoniq-stringvalue: '[null,{..}]' → 'null')."""
+        (jsonmode/jsoniq-stringvalue: '[null,{..}]' → 'null'). Arrays
+        nested past JSON_DEPTH raise instead of truncating silently."""
+        if depth is None:
+            depth = JSON_DEPTH
         base = F.when(v.isNull(), F.lit("")).when(
             F.coalesce(F.is_variant_null(v), F.lit(False)), F.lit("null")
         )
         scalar = F.coalesce(F.try_variant_get(v, "$", "string"), F.lit(""))
         if depth <= 0:
-            return base.otherwise(scalar)
+            # a nonempty ARRAY here would stringify incompletely — raise
+            # (assert_true is NULL on ok, so the when() is a no-op wrapper)
+            deep = F.coalesce(
+                F.schema_of_variant(v).startswith("ARRAY")
+                & (F.size(F.try_variant_get(v, "$", "array<variant>")) > 0),
+                F.lit(False),
+            )
+            chk = F.assert_true(
+                ~deep,
+                F.lit("xidel_spark: JSON nested deeper than "
+                      "XIDEL_SPARK_JSON_DEPTH — raise the env bound"),
+            )
+            guarded = F.when(chk.isNull(), scalar).otherwise(scalar)
+            return base.otherwise(guarded)
         sch = F.schema_of_variant(v)
         members = F.try_variant_get(v, "$", "array<variant>")
         arr = F.concat_ws(
@@ -415,21 +439,87 @@ class Compiler:
             F.array().cast("array<variant>"),
         )
 
-    def _json_descend(self, v: Column, name: str, depth: int = 4) -> Column:
+    def _json_descend(self, v: Column, name: str, depth: int | None = None) -> Column:
         """array<variant> of every `name` field in document order, any
-        depth up to the static bound (json documents in the fixtures are
-        shallow; the bound is an expression-size ceiling, not a scan)."""
+        depth up to JSON_DEPTH (an expression-size ceiling, not a scan).
+        Residual unvisited members at the floor raise at runtime rather
+        than silently dropping descendants."""
+        if depth is None:
+            depth = JSON_DEPTH
         own = F.try_variant_get(v, f"$.{name}", "variant")
         here = F.when(own.isNotNull(), F.array(own)).otherwise(
             F.array().cast("array<variant>")
         )
         if depth <= 0:
-            return here
+            leftover = F.coalesce(F.size(self._json_members(v)) > 0, F.lit(False))
+            chk = F.assert_true(
+                ~leftover,
+                F.lit("xidel_spark: JSON '//' walk exceeded "
+                      "XIDEL_SPARK_JSON_DEPTH — raise the env bound"),
+            )
+            return F.when(chk.isNull(), here).otherwise(here)
         below = F.flatten(
             F.transform(self._json_members(v),
                         lambda m: self._json_descend(m, name, depth - 1))
         )
         return F.concat(here, below)
+
+    def _json_canon(self, v: Column, depth: int | None = None) -> Column:
+        """canonical JSON text of a variant for structural comparison:
+        object keys sorted recursively, numbers in one lexical form (1 and
+        1.0 compare equal) — the reference's deep-equal is structural, so
+        serialized-text comparison must not depend on key order or numeric
+        lexical form (to_json preserves both)."""
+        if depth is None:
+            depth = JSON_DEPTH
+        isnull = v.isNull() | F.coalesce(F.is_variant_null(v), F.lit(False))
+        sch = F.schema_of_variant(v)
+        num = self.to_string(TV(F.try_variant_get(v, "$", "double"), "double"))
+        numeric = sch.rlike("^(BIGINT|INT|SMALLINT|TINYINT|DOUBLE|FLOAT|DECIMAL)")
+        if depth <= 0:
+            leftover = F.coalesce(F.size(self._json_members(v)) > 0, F.lit(False))
+            chk = F.assert_true(
+                ~leftover,
+                F.lit("xidel_spark: deep-equal exceeded "
+                      "XIDEL_SPARK_JSON_DEPTH — raise the env bound"),
+            )
+            out = (F.when(isnull, F.lit("null"))
+                   .when(numeric, num)
+                   .otherwise(F.to_json(v)))
+            return F.when(chk.isNull(), out).otherwise(out)
+        arr = F.concat(
+            F.lit("["),
+            F.concat_ws(",", F.transform(
+                F.try_variant_get(v, "$", "array<variant>"),
+                lambda m: self._json_canon(m, depth - 1),
+            )),
+            F.lit("]"),
+        )
+        # key-only comparator: default struct ordering would try to order
+        # the VARIANT value field (INVALID_ORDERING_TYPE)
+        entries = F.array_sort(
+            F.map_entries(F.try_variant_get(v, "$", "map<string,variant>")),
+            lambda a, b: F.when(a["key"] < b["key"], F.lit(-1))
+            .when(a["key"] > b["key"], F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        obj = F.concat(
+            F.lit("{"),
+            F.concat_ws(",", F.transform(
+                entries,
+                lambda e: F.concat(self._json_quote(e["key"]), F.lit(":"),
+                                   self._json_canon(e["value"], depth - 1)),
+            )),
+            F.lit("}"),
+        )
+        return (
+            F.when(isnull, F.lit("null"))
+            .when(sch.startswith("ARRAY"), arr)
+            .when(sch.startswith("OBJECT") | sch.startswith("STRUCT")
+                  | sch.startswith("MAP"), obj)
+            .when(numeric, num)
+            .otherwise(F.to_json(v))
+        )
 
     def _json_path(self, base: TV, path) -> TV:
         jn = base.col["jn"]
@@ -498,11 +588,9 @@ class Compiler:
             )
         return s
 
-    def _c_seqexpr(self, n: P.SeqExpr) -> TV:
-        if not n.items:
-            return TV(_empty_seq("string"), "seq:string")
+    def _compile_items(self, items) -> list[TV]:
         parts = []
-        for item in n.items:
+        for item in items:
             before = len(self.assignments)
             parts.append(self.compile(item))
             # assignments surfaced while compiling this item (e.g. inside
@@ -510,6 +598,14 @@ class Compiler:
             # moduleFuncImportGlobalMut2: setglobal(), "xx:" || $newglobal
             for an, atv in self.assignments[before:]:
                 self.env[an] = atv
+        return parts
+
+    def _c_seqexpr(self, n: P.SeqExpr) -> TV:
+        if not n.items:
+            return TV(_empty_seq("string"), "seq:string")
+        return self._seq_from_tvs(self._compile_items(n.items))
+
+    def _seq_from_tvs(self, parts: list[TV]) -> TV:
         if parts and all(p.kind in ("jsonv", "seq:jsonv") for p in parts):
             # deep-json items keep their struct<v,jn> identity in sequence
             # (the *-equals goldens iterate parse variants; json path
@@ -1099,8 +1195,10 @@ class Compiler:
         serialization identity (jtext)."""
         kv = []
         jparts: list[Column] = []
+        vtvs: list[TV] = []  # value TVs, compiled once and reused below
         for kast, vast in n.pairs:
             ktv, vtv = self.compile(kast), self.compile(vast)
+            vtvs.append(vtv)
             kv.append(self.to_string(ktv))
             kv.append(self.to_string(vtv))
             jparts.append(
@@ -1115,8 +1213,7 @@ class Compiler:
         static = None
         if all(isinstance(k, P.Lit) and k.kind == "string" for k, _v in n.pairs):
             static = {}
-            for k, vast in n.pairs:
-                tv = self.compile(vast)
+            for (k, vast), tv in zip(n.pairs, vtvs):
                 empty_lit = (isinstance(vast, P.SeqExpr)
                              and not isinstance(vast, P.ArrayLit)
                              and not vast.items)
@@ -1145,8 +1242,13 @@ class Compiler:
         )
 
     def _c_arraylit(self, n) -> TV:
-        base = self._c_seqexpr(n)
-        items = [self.compile(i) for i in n.items]
+        # each item AST compiles exactly ONCE: the TVs feed both the
+        # sequence column and the jtext/static_items views, so `$x := ...`
+        # inside the literal logs a single change-log entry and the
+        # Catalyst tree isn't doubled
+        items = self._compile_items(n.items)
+        base = (TV(_empty_seq("string"), "seq:string") if not n.items
+                else self._seq_from_tvs(items))
         if self.json_mode in ("jsoniq", "deprecated"):
             # JSONiq/deprecated array constructors FLATTEN: () vanishes,
             # static ranges expand to members (jsonmode/jsoniq: size 4)
@@ -1372,7 +1474,10 @@ class Compiler:
         from ..functions.registry import BUILTINS
 
         try:  # xs constructor lattice (functions/xsd.py) via the registry
-            return TV(BUILTINS.call(t, v.col), "any")
+            # double inputs go through to_string so the constructor sees
+            # the canonical lexical form ('3', not the cast artifact '3.0')
+            arg = self.to_string(v) if v.kind == "double" else v.col
+            return TV(BUILTINS.call(t, arg), "any")
         except KeyError:
             raise ValueError(f"expr: unsupported cast target {t!r}") from None
 
@@ -1557,7 +1662,8 @@ class Compiler:
             a, b = args
             return TV(
                 a.col["jn"].eqNullSafe(b.col["jn"])
-                & F.to_json(a.col["v"]).eqNullSafe(F.to_json(b.col["v"])),
+                & self._json_canon(a.col["v"]).eqNullSafe(
+                    self._json_canon(b.col["v"])),
                 "bool",
             )
         if local == "size" and args and args[0].static_items is not None \
@@ -1641,6 +1747,10 @@ class Compiler:
         cols = []
         for a in args:
             if a.kind == "nodes":
+                cols.append(self.to_string(a))
+            elif a.kind == "double" and name.startswith("xs:"):
+                # xs constructors take the canonical lexical form of a
+                # double ('3', 'NaN', 'INF'), not the cast artifact '3.0'
                 cols.append(self.to_string(a))
             else:
                 cols.append(a.col)

@@ -15,9 +15,9 @@ ModuleRegistry), JSONiq true/false/null words, and location paths — paths
 reuse extract.xpath's parser verbatim, so everything the selector engine
 accepts embeds unchanged (css() bridging included).
 
-Full FLWOR order-by/group-by and window clauses stay library-level
-(queries_fn.py / queries_ext.py) — the parser raises a routing error for
-them, mirroring SURVEY §2.3's split.
+FLWOR order-by (single-for) and tumbling/sliding window clauses parse
+in-string and compile to the library operators (queries_fn.py /
+queries_ext.py semantics).
 """
 
 from __future__ import annotations

@@ -103,13 +103,14 @@ def xs_decimal(c: Column) -> Column:
 
 
 def xs_integer(c: Column) -> Column:
+    # strict XSD integer lexical space: no decimal point — xs:integer('3.0')
+    # is FORG0001 in the reference (NULL here, out-of-facet policy). The
+    # double→integer composition path never reaches this regex with a '.0'
+    # tail: the compiler stringifies double-kinded arguments through
+    # to_string, whose integral-double rule prints '3', not '3.0'
+    # (exprlang/compiler.py xs:* call sites).
     s = F.trim(c.cast("string"))
-    # integer lexical space has no decimal point — '3.9' is NOT an integer
-    # and maps to NULL (out-of-facet policy); a '.0…' tail is accepted so a
-    # double-typed COLUMN whose stringification is '3.0' still casts
-    # (cast-from-double truncation otherwise composes xs:integer(xs:double))
-    ok = s.rlike(r"^[+-]?\d+(\.0*)?$")
-    return F.when(ok, F.regexp_replace(s, r"\.0*$", "").try_cast("long"))
+    return F.when(s.rlike(r"^[+-]?\d+$"), s.try_cast("long"))
 
 
 def _ranged(lo: int | None, hi: int | None):

@@ -73,16 +73,16 @@ WITH base AS (
   FROM orders
 )
 SELECT key, lex,
-  regexp_matches(lex, '^[+-]?\\d+(\\.0*)?$')
-    AND TRY_CAST(regexp_replace(lex, '\\.0*$', '') AS BIGINT) IS NOT NULL
+  regexp_matches(lex, '^[+-]?\\d+$')
+    AND TRY_CAST(lex AS BIGINT) IS NOT NULL
     AS is_integer,
   trim(lex) IN ('INF','-INF','NaN') OR TRY_CAST(trim(lex) AS DOUBLE) IS NOT NULL
     AS is_double,
   trim(lex) IN ('true','false','1','0') AS is_boolean,
   regexp_matches(lex, '^\\d{4}-\\d{2}-\\d{2}$') AND TRY_CAST(lex AS DATE) IS NOT NULL
     AS is_date,
-  regexp_matches(lex, '^[+-]?\\d+(\\.0*)?$')
-    AND TRY_CAST(regexp_replace(lex, '\\.0*$', '') AS BIGINT) BETWEEN -128 AND 127
+  regexp_matches(lex, '^[+-]?\\d+$')
+    AND TRY_CAST(lex AS BIGINT) BETWEEN -128 AND 127
     AS is_byte,
   lex IS NOT NULL AS is_string
 FROM base
