@@ -72,8 +72,7 @@ def oracle_sql() -> dict[str, str]:
 
     out = {
         "crawl_dfs_order": oracle.CRAWL_DFS_ORDER,
-        "crawl_nodedup_depth2": oracle.CRAWL_NODEDUP_DEPTH2,
-        "crawl_seen_bfs": oracle.CRAWL_SEEN_BFS,
+        "crawl_modes": oracle.CRAWL_MODES,
         "link_extraction": oracle.LINK_EXTRACTION,
         "url_canonicalize": oracle.URL_CANONICALIZE,
         "politeness_schedule": oracle.POLITENESS_SCHEDULE,

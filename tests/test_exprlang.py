@@ -178,12 +178,51 @@ def test_kind_auto_detection():
 def test_routing_errors():
     """constructs that live in library operators raise a routing message
     instead of silently mis-parsing (window clauses graduated to in-string
-    compilation in round 4 — _c_windowexpr)."""
+    compilation in round 4, group-by/count in round 5)."""
     for src in [
-        "for $x in (1,2) group by $x return $x",
+        # multi-for group-by stays library-level (queries_fn.py);
+        # the routing error surfaces at column-compile time
+        "for $x in (1,2), $y in (3,4) group by $x return $x",
     ]:
         with pytest.raises(ValueError):
-            compile_expr(src)
+            compile_expr(src).column()
+
+
+def test_flwor_group_by(spark):
+    """in-string 'group by'/'count' (single-for form, XQuery 3.0
+    semantics): the grouping variable rebinds to the key, non-grouping
+    variables to their grouped sequences; groups emit in first-appearance
+    order; 'order by' reorders groups; 'count' binds positions."""
+    cases = [
+        # grouping var becomes the scalar key (count($x) is 1 per spec)
+        ("string-join(for $x in (1,2,3,1,2,1) group by $x "
+         "return concat($x,'#',count($x)), ',')", "1#1,2#1,3#1"),
+        # non-grouping FOR var rebinds to the group's value sequence
+        ("string-join(for $w in ('apple','ant','bee','bat','cow') "
+         "let $k := substring($w,1,1) group by $k "
+         "return concat($k,':',string-join($w,'+')), ',')",
+         "a:apple+ant,b:bee+bat,c:cow"),
+        ("string-join(for $x in (5,3,5,1) group by $x order by $x "
+         "return string($x), ',')", "1,3,5"),
+        ("string-join(for $x in (5,3,5,1) group by $x order by $x "
+         "descending return string($x), ',')", "5,3,1"),
+        # 'group by $k := expr' binding form (XQuery 3.1)
+        ("string-join(for $w in ('aa','ab','ba','bb','ac') "
+         "group by $k := substring($w,1,1) "
+         "return concat($k,'>',count($w)), ',')", "a>3,b>2"),
+        # aggregate over the grouped sequence; where filters GROUPS
+        ("string-join(for $x in (1,1,2,2,2,9) let $g := $x group by $g "
+         "where count($x) > 1 return concat($g,'=',sum($x)), ',')",
+         "1=2,2=6"),
+        # count clause: 1-based tuple position
+        ("string-join(for $x in ('a','b','c') count $c "
+         "return concat($c,$x), ',')", "1a,2b,3c"),
+    ]
+    df = spark.range(1)
+    cols = [compile_expr(s).string().alias(f"c{i}") for i, (s, _) in enumerate(cases)]
+    row = df.select(*cols).first()
+    for i, (src, want) in enumerate(cases):
+        assert row[f"c{i}"] == want, f"{src!r}: want {want!r} got {row[f'c{i}']!r}"
 
 
 def test_variable_assignment_extension(spark):

@@ -887,6 +887,10 @@ class Compiler:
         return TV(go(0, self), "bool")
 
     def _c_flwor(self, n: P.Flwor) -> TV:
+        if n.group_by is not None:
+            return self._c_flwor_grouped(n)
+        if n.count_var is not None:
+            return self._c_flwor_counted(n)
         if n.order_by is not None:
             return self._c_flwor_ordered(n)
         out_kind: list[str] = []
@@ -920,6 +924,157 @@ class Compiler:
             return F.flatten(F.transform(seq.col, body))
 
         col = go(0, self)
+        return TV(col, f"seq:{out_kind[0] if out_kind else 'string'}")
+
+    def _single_for(self, n: P.Flwor, what: str):
+        """(var, src, lets) of the single-for FLWOR form, or a routing
+        error — the distributed path for multi-for shapes is the library
+        FLWOR (queries_fn.py), mirroring SURVEY §2.3's split."""
+        fors = [c for c in n.clauses if c[0] == "for"]
+        if len(fors) != 1 or not n.clauses or n.clauses[0][0] != "for" \
+                or any(c[0] != "let" for c in n.clauses[1:]):
+            raise ValueError(
+                f"expr: {what} supports the single-for FLWOR form here; "
+                "multi-for shapes route through queries_fn.py"
+            )
+        _, var, src = n.clauses[0]
+        return var, src, n.clauses[1:]
+
+    def _c_flwor_counted(self, n: P.Flwor) -> TV:
+        """`for $x in E count $c [where] return B` — $c is the 1-based
+        tuple position, bound via the HOF index argument."""
+        var, src, lets = self._single_for(n, "'count'")
+        tv = self.compile(src)
+        seq = tv if tv.is_seq else self.to_seq(tv)
+        ek = seq.elem_kind
+        out_kind: list[str] = []
+
+        def body(el, i):
+            bound = self.bind(**{
+                var: TV(F.array(el), "nodes", backing=seq.backing)
+                if ek == "nodes" else TV(el, ek)
+            })
+            bound = bound.bind(**{n.count_var: TV((i + F.lit(1)).cast("long"), "long")})
+            for _, lv, lsrc in lets:
+                bound = bound.bind(**{lv: bound.compile(lsrc)})
+            btv = bound.compile(n.ret)
+            bseq = btv if btv.is_seq else bound.to_seq(btv)
+            if bseq.kind == "nodes":
+                bseq = bound.atomize_seq(bseq)
+            out_kind.append(bseq.elem_kind)
+            col = bseq.col
+            if n.where is not None:
+                cond = bound.ebv(bound.compile(n.where))
+                col = F.when(cond, col).otherwise(_empty_seq(bseq.elem_kind))
+            return col
+
+        col = F.flatten(F.transform(seq.col, body))
+        return TV(col, f"seq:{out_kind[0] if out_kind else 'string'}")
+
+    def _c_flwor_grouped(self, n: P.Flwor) -> TV:
+        """XQuery 3.0 `group by` for the single-for form: tuples whose
+        grouping key compares equal collapse to one group, the for
+        variable rebinds to the SEQUENCE of its group's values, other let
+        variables rebind to their grouped value sequences, and groups emit
+        in first-appearance order (array_distinct preserves it). `count`
+        binds the group position, `where` filters groups, `order by`
+        reorders them. Pure Catalyst (transform/filter/array_distinct) —
+        the distributed grouping path is the library operator
+        (queries_fn.py flwor_group_order); this is the in-string surface
+        (reference readme changelog:79-84)."""
+        if len(n.group_by) != 1:
+            raise ValueError(
+                "expr: multi-key 'group by' routes through the library FLWOR"
+            )
+        gvar = n.group_by[0]
+        var, src, lets = self._single_for(n, "'group by'")
+        tv = self.compile(src)
+        seq = tv if tv.is_seq else self.to_seq(tv)
+        if seq.kind == "nodes":
+            seq = self.atomize_seq(seq)
+        ek = seq.elem_kind
+        kkind: list[str] = []
+        lkinds: dict[str, str] = {}
+
+        def env_of(el) -> "Compiler":
+            bound = self.bind(**{var: TV(el, ek)})
+            for _, lv, lsrc in lets:
+                ltv = bound.compile(lsrc)
+                lkinds.setdefault(lv, ltv.elem_kind if ltv.is_seq else ltv.kind)
+                bound = bound.bind(**{lv: ltv})
+            return bound
+
+        def key_tv(el) -> TV:
+            env = env_of(el)
+            if gvar == var:
+                ktv = TV(el, ek)
+            elif gvar in env.env:
+                ktv = env.env[gvar]
+                if not isinstance(ktv, TV):
+                    ktv = TV(ktv, "any")
+            else:
+                raise ValueError(f"expr: 'group by ${gvar}' is not bound")
+            ktv = env._first(ktv)
+            kkind.append(ktv.kind if ktv.kind in ("long", "double", "bool", "string")
+                         else "string")
+            return ktv
+
+        def key_struct(el):
+            env = env_of(el)
+            ktv = key_tv(el)
+            kv = ktv.col if kkind[-1] != "string" else env.to_string(ktv)
+            # ks: null-safe equality surface (empty keys group together)
+            ks = F.coalesce(env.to_string(ktv), F.lit("\x00absent"))
+            return F.struct(ks.alias("ks"), kv.alias("kv"))
+
+        karr = F.array_distinct(F.transform(seq.col, key_struct))
+        if n.order_by is not None:
+            okey_ast, desc = n.order_by
+
+            def order_struct(kstr):
+                genv = self.bind(**{gvar: TV(kstr["kv"], kkind[0])})
+                otv = genv.compile(okey_ast)
+                ok = (genv.to_number(otv) if otv.kind in NUM_KINDS
+                      else collation_key_expr(genv.to_string(otv)))
+                return F.struct(ok.alias("o"), kstr["ks"].alias("ks"),
+                                kstr["kv"].alias("kv"))
+
+            karr = F.transform(
+                F.sort_array(F.transform(karr, order_struct), asc=not desc),
+                lambda s: F.struct(s["ks"].alias("ks"), s["kv"].alias("kv")),
+            )
+        out_kind: list[str] = []
+
+        def per_group(kstr, gi):
+            members = F.filter(seq.col, lambda el: key_struct(el)["ks"] == kstr["ks"])
+            genv = self.bind(**{
+                var: TV(members, f"seq:{ek}"),
+                gvar: TV(kstr["kv"], kkind[0]),
+            })
+            for _, lv, lsrc in lets:
+                if lv == gvar:
+                    continue
+                genv = genv.bind(**{lv: TV(
+                    F.flatten(F.transform(members, lambda el: self._seq_cast(
+                        env_of(el).env[lv], lkinds[lv]))),
+                    f"seq:{lkinds[lv]}",
+                )})
+            if n.count_var is not None:
+                genv = genv.bind(**{
+                    n.count_var: TV((gi + F.lit(1)).cast("long"), "long")
+                })
+            btv = genv.compile(n.ret)
+            bseq = btv if btv.is_seq else genv.to_seq(btv)
+            if bseq.kind == "nodes":
+                bseq = genv.atomize_seq(bseq)
+            out_kind.append(bseq.elem_kind)
+            col = bseq.col
+            if n.where is not None:
+                cond = genv.ebv(genv.compile(n.where))
+                col = F.when(cond, col).otherwise(_empty_seq(bseq.elem_kind))
+            return col
+
+        col = F.flatten(F.transform(karr, per_group))
         return TV(col, f"seq:{out_kind[0] if out_kind else 'string'}")
 
     def _c_flwor_ordered(self, n: P.Flwor) -> TV:

@@ -15,9 +15,10 @@ ModuleRegistry), JSONiq true/false/null words, and location paths — paths
 reuse extract.xpath's parser verbatim, so everything the selector engine
 accepts embeds unchanged (css() bridging included).
 
-FLWOR order-by (single-for) and tumbling/sliding window clauses parse
-in-string and compile to the library operators (queries_fn.py /
-queries_ext.py semantics).
+FLWOR order-by, group-by/count (single-for forms), and tumbling/sliding
+window clauses all parse in-string and compile to pure Catalyst; the
+distributed multi-for shapes route through the library operators
+(queries_fn.py / queries_ext.py).
 """
 
 from __future__ import annotations
@@ -100,6 +101,8 @@ class Flwor:
     where: object | None
     ret: object
     order_by: tuple | None = None  # (key_expr, descending: bool)
+    group_by: list | None = None  # grouping variable names
+    count_var: str | None = None  # 'count $c' positional binding
 
 
 @dataclass
@@ -1039,11 +1042,40 @@ class ExprParser:
                     self.next()
                     continue
                 break
-        if self.at_word("group", "count", "window"):
+        if self.at_word("window"):
             raise ValueError(
-                f"expr: FLWOR '{self.peek()[1]} by' routes through the "
-                f"library operators (queries_fn.py flwor_*)"
+                "expr: FLWOR window-after-for routes through the library "
+                "operators (queries_fn.py / queries_ext.py window_*)"
             )
+        group_by = None
+        count_var = None
+        while self.at_word("group", "count"):
+            if self.at_word("group"):
+                self.next()
+                if not self.at_word("by"):
+                    raise ValueError(f"expr: 'group' without 'by' in {self.src!r}")
+                self.next()
+                gv = []
+                while True:
+                    vk, vv = self.next()
+                    if vk != "var":
+                        raise ValueError("expr: expected $var after 'group by'")
+                    gv.append(vv[1:])
+                    if self.peek()[0] == "dcolonassign":
+                        # 'group by $k := expr' binds then groups (XQ 3.1)
+                        self.next()
+                        clauses.append(("let", gv[-1], self.exprsingle()))
+                    if self.peek() == ("sym", ","):
+                        self.next()
+                        continue
+                    break
+                group_by = gv
+            else:  # count
+                self.next()
+                vk, vv = self.next()
+                if vk != "var":
+                    raise ValueError("expr: expected $var after 'count'")
+                count_var = vv[1:]
         where = None
         if self.at_word("where"):
             self.next()
@@ -1070,7 +1102,8 @@ class ExprParser:
         if not self.at_word("return"):
             raise ValueError(f"expr: FLWOR without 'return' in {self.src!r}")
         self.next()
-        return Flwor(clauses, where, self.exprsingle(), order_by)
+        return Flwor(clauses, where, self.exprsingle(), order_by,
+                     group_by, count_var)
 
     def _quant(self, mode: str):
         self.next()  # some/every

@@ -98,6 +98,33 @@ SELECT {url_expr()} AS url, CAST(min(depth) AS INT) AS depth
 FROM reach GROUP BY id
 """
 
+# nodedup expansion + BFS seen set under one driver row (mode column)
+CRAWL_MODES = f"""
+WITH RECURSIVE {PARAMS}, {IDS}, {LINKS_LAYERED}, {LINKS_CYCLIC}, {SEEDS},
+walk(id, rank, depth) AS (
+  SELECT id, printf('%08x', sidx), 0 FROM seeds
+  UNION ALL
+  SELECT l.dst, w.rank || printf('%08x', l.idx), w.depth + 1
+  FROM walk w JOIN links l ON l.src = w.id
+  WHERE w.depth < 2
+),
+reach(id, depth) AS (
+  SELECT id, 0 FROM seeds
+  UNION
+  SELECT l.dst, r.depth + 1
+  FROM reach r JOIN clinks l ON l.src = r.id
+  WHERE r.depth < 64
+)
+SELECT 'nodedup' AS mode, {url_expr()} AS url, rank,
+       CAST(depth AS INT) AS depth,
+       CAST(row_number() OVER (ORDER BY rank) AS BIGINT) AS ord
+FROM walk
+UNION ALL
+SELECT 'bfs' AS mode, {url_expr()} AS url, CAST(NULL AS VARCHAR) AS rank,
+       CAST(min(depth) AS INT) AS depth, CAST(NULL AS BIGINT) AS ord
+FROM reach GROUP BY id
+"""
+
 LINK_EXTRACTION = f"""
 WITH {PARAMS}, {IDS}, {LINKS_LAYERED}
 SELECT {url_expr('src')} AS src, idx, {url_expr('dst')} AS dst FROM links

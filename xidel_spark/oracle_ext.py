@@ -236,19 +236,110 @@ SELECT d AS doc_id,
 FROM j
 """
 
+CHANGELOG_SURFACES = f"""
+WITH {_LOG_CTE},
+cond AS (
+  SELECT doc_id, var_name,
+         string_agg(value, ',' ORDER BY seq_index) AS value,
+         count(*)::BIGINT AS n_assignments,
+         count(*) > 1 AS is_multi
+  FROM log GROUP BY doc_id, var_name
+),
+c AS (
+  SELECT doc_id, var_name,
+         list(value ORDER BY seq_index) AS vals,
+         min(seq_index) AS first_seq,
+         count(*) AS n
+  FROM log GROUP BY doc_id, var_name
+),
+entries AS (
+  SELECT doc_id, first_seq,
+         '"' || var_name || '": ' ||
+         CASE WHEN n > 1
+              THEN '[' || array_to_string(list_transform(vals,
+                     v -> CASE WHEN regexp_matches(v, '^-?\\d+(\\.\\d+)?$') THEN v
+                               ELSE '"' || replace(v, '"', '\\"') || '"' END), ', ') || ']'
+              ELSE (CASE WHEN regexp_matches(vals[1], '^-?\\d+(\\.\\d+)?$') THEN vals[1]
+                         ELSE '"' || replace(vals[1], '"', '\\"') || '"' END)
+         END AS entry
+  FROM c
+),
+js AS (
+  SELECT doc_id,
+         '{{' || string_agg(entry, ', ' ORDER BY first_seq) || '}}' AS value
+  FROM entries GROUP BY doc_id
+)
+SELECT 'condense' AS mode, doc_id, var_name, value, n_assignments, is_multi
+FROM cond
+UNION ALL
+SELECT 'json' AS mode, doc_id, CAST(NULL AS VARCHAR) AS var_name, value,
+       CAST(NULL AS BIGINT) AS n_assignments, CAST(NULL AS BOOLEAN) AS is_multi
+FROM js
+"""
+
+MEDIA_PIPELINE = """
+WITH m AS (SELECT doc_id::BIGINT AS doc_id, md5(text) AS h FROM documents),
+b AS (
+  SELECT doc_id, i,
+         16 * (strpos('0123456789abcdef', substr(h, (2 * i - 1)::INT, 1)) - 1)
+            + (strpos('0123456789abcdef', substr(h, (2 * i)::INT, 1)) - 1) AS byte
+  FROM m CROSS JOIN (SELECT unnest(range(1, 17)) AS i)
+),
+agg AS (
+  SELECT doc_id,
+         sum(byte) AS bs,
+         avg(byte::DOUBLE) AS mu,
+         avg(byte::DOUBLE * byte) AS m2,
+         max(CASE WHEN i = 1 THEN byte END) AS b0
+  FROM b GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+            ELSE 'audio/wav' END AS mime,
+       CAST(16 AS INT) AS blob_len,
+       CAST(b0 AS INT) AS first_byte,
+       CAST(bs AS INT) AS byte_sum,
+       CAST(8 + b0 % 8 AS INT) AS width,
+       CAST(16 AS INT) AS height,
+       floor(mu * 10000 + 0.5) / 10000 AS px_mean,
+       floor(sqrt(m2 - mu * mu) * 10000 + 0.5) / 10000 AS px_std
+FROM agg
+"""
+
+WINDOW_CLAUSES = """
+WITH t AS (
+  SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS w_start,
+         event_type, count(*)::BIGINT AS n,
+         floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e, event_type, k
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+),
+s AS (
+  SELECT CAST(floor((e - k * 1800) / 3600) * 3600 + k * 1800 AS BIGINT) AS w_start,
+         event_type, count(*)::BIGINT AS n
+  FROM r GROUP BY 1, 2
+)
+SELECT 'tumbling' AS mode, w_start, event_type, n, sum_value FROM t
+UNION ALL
+SELECT 'sliding' AS mode, w_start, event_type, n, CAST(NULL AS DOUBLE) AS sum_value
+FROM s
+"""
+
 EXT_ORACLES = {
     "resolve_uri": RESOLVE_URI,
     "error_policy": ERROR_POLICY,
     "frontier_priority_order": FRONTIER_PRIORITY_ORDER,
-    "changelog_condense": CHANGELOG_CONDENSE,
-    "changelog_json": CHANGELOG_JSON,
-    "media_features": MEDIA_FEATURES,
-    "media_decode": MEDIA_DECODE,
+    "changelog_surfaces": CHANGELOG_SURFACES,
+    "media_pipeline": MEDIA_PIPELINE,
     "datetime_functions": DATETIME_FUNCTIONS,
     "math_functions": MATH_FUNCTIONS,
     "higher_order_functions": HIGHER_ORDER_FUNCTIONS,
     "option_inheritance": OPTION_INHERITANCE,
     "embedding_near_dup": EMBEDDING_NEAR_DUP,
-    "window_sliding": WINDOW_SLIDING,
+    "window_clauses": WINDOW_CLAUSES,
     "json_functions": JSON_FUNCTIONS,
 }

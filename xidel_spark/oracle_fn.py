@@ -85,13 +85,34 @@ JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """
 
+FLWOR_GROUP_BY = """
+WITH ids AS (SELECT doc_id::BIGINT AS d FROM documents),
+seqs AS (SELECT d, unnest(range(1, 2 + d % 7)) AS x FROM ids),
+g AS (
+  SELECT d, x % 3 AS k, count(*)::BIGINT AS c, sum(x)::BIGINT AS s
+  FROM seqs GROUP BY d, x % 3
+),
+grp AS (
+  SELECT d, string_agg(k || ':' || c || ':' || s, ';' ORDER BY k) AS grouped
+  FROM g GROUP BY d
+),
+cseqs AS (SELECT d, unnest(range(1, 2 + d % 5)) AS x,
+                 unnest(range(1, 2 + d % 5)) AS c FROM ids),
+cnt AS (
+  SELECT d, string_agg(c || 'x' || x, ',' ORDER BY c) AS counted
+  FROM cseqs GROUP BY d
+)
+SELECT grp.d AS doc_id, grouped, counted
+FROM grp JOIN cnt ON grp.d = cnt.d
+"""
+
 FN_ORACLES = {
     "extract_regex": EXTRACT_REGEX,
     "string_functions": STRING_FUNCTIONS,
     "sequence_ops": SEQUENCE_OPS,
     "json_access": JSON_ACCESS,
     "flwor_group_order": FLWOR_GROUP_ORDER,
-    "window_tumbling": WINDOW_TUMBLING,
+    "flwor_group_by": FLWOR_GROUP_BY,
     "agg_pricing_summary": AGG_PRICING_SUMMARY,
     "join_broadcast_dim": JOIN_BROADCAST_DIM,
 }

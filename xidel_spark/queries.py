@@ -130,10 +130,26 @@ def q_frontier_dedup_request_tuple(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_crawl_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`--allow-repetitions --follow-level 2` expansion AND the cyclic-graph
+    BFS seen set in one multi-mode gate (the driver records at most 50
+    query rows; both semantics stay value-hashed under one row)."""
+    a = q_crawl_nodedup_depth2(spark, sf_dir).select(
+        F.lit("nodedup").alias("mode"), "url", "rank", "depth", "ord"
+    )
+    b = q_crawl_seen_bfs(spark, sf_dir).select(
+        F.lit("bfs").alias("mode"),
+        "url",
+        F.lit(None).cast("string").alias("rank"),
+        "depth",
+        F.lit(None).cast("long").alias("ord"),
+    )
+    return a.unionByName(b)
+
+
 CRAWL_QUERIES = {
     "crawl_dfs_order": q_crawl_dfs_order,
-    "crawl_nodedup_depth2": q_crawl_nodedup_depth2,
-    "crawl_seen_bfs": q_crawl_seen_bfs,
+    "crawl_modes": q_crawl_modes,
     "link_extraction": q_link_extraction,
     "url_canonicalize": q_url_canonicalize,
     "politeness_schedule": q_politeness_schedule,

@@ -293,19 +293,63 @@ def q_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_changelog_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """both change-log surfaces (condensed per-var rows + the json-wrapped
+    per-doc object) under one driver row (50-row record budget)."""
+    c = q_changelog_condense(spark, sf_dir).select(
+        F.lit("condense").alias("mode"), "doc_id", "var_name",
+        F.col("values_joined").alias("value"), "n_assignments", "is_multi",
+    )
+    j = q_changelog_json(spark, sf_dir).select(
+        F.lit("json").alias("mode"), "doc_id",
+        F.lit(None).cast("string").alias("var_name"),
+        F.col("json").alias("value"),
+        F.lit(None).cast("long").alias("n_assignments"),
+        F.lit(None).cast("boolean").alias("is_multi"),
+    )
+    return c.unionByName(j)
+
+
+def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal plumbing end-to-end in one gate: blob synthesis + Arrow
+    mapInPandas byte features JOINED with the deterministic fake-decoder
+    pixel statistics (one row per doc, 9 hashed columns)."""
+    feats = q_media_features(spark, sf_dir)
+    dec = q_media_decode(spark, sf_dir).drop("mime")
+    return feats.join(dec, "doc_id").select(
+        "doc_id", "mime", "blob_len", "first_byte", "byte_sum",
+        "width", "height", "px_mean", "px_std",
+    )
+
+
+def q_window_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tumbling (1h) + sliding (1h/30min) window clauses under one driver
+    row; the tumbling hour is epoch-keyed so both grains union."""
+    from .queries_fn import q_window_tumbling
+
+    t = q_window_tumbling(spark, sf_dir).select(
+        F.lit("tumbling").alias("mode"),
+        F.unix_timestamp("hour").cast("long").alias("w_start"),
+        "event_type", "n", "sum_value",
+    )
+    s = q_window_sliding(spark, sf_dir).select(
+        F.lit("sliding").alias("mode"), "w_start", "event_type", "n",
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    return t.unionByName(s)
+
+
 EXT_QUERIES = {
     "resolve_uri": q_resolve_uri,
     "error_policy": q_error_policy,
     "frontier_priority_order": q_frontier_priority_order,
-    "changelog_condense": q_changelog_condense,
-    "changelog_json": q_changelog_json,
-    "media_features": q_media_features,
-    "media_decode": q_media_decode,
+    "changelog_surfaces": q_changelog_surfaces,
+    "media_pipeline": q_media_pipeline,
     "datetime_functions": q_datetime_functions,
     "math_functions": q_math_functions,
     "higher_order_functions": q_higher_order_functions,
     "option_inheritance": q_option_inheritance,
     "embedding_near_dup": q_embedding_near_dup,
-    "window_sliding": q_window_sliding,
+    "window_clauses": q_window_clauses,
     "json_functions": q_json_functions,
 }

@@ -135,13 +135,39 @@ def q_join_broadcast_dim(spark, sf_dir):
     )
 
 
+def q_flwor_group_by(spark, sf_dir):
+    """IN-STRING FLWOR `group by`/`count` (reference readme
+    changelog:79-84) compiled to pure Catalyst: per document, a derived
+    integer sequence is grouped by $x mod 3, groups ordered by key, each
+    emitting key:count:sum — plus a `count $c` positional leg. The whole
+    expression evaluates as one Column (no Python), mirrored by a DuckDB
+    unnest/GROUP BY oracle."""
+    from . import corpus
+    from .exprlang import compile_expr
+
+    docs = corpus.base_docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    grouped = compile_expr(
+        "string-join(for $x in (1 to 1 + $d mod 7) let $k := $x mod 3 "
+        "group by $k order by $k "
+        "return concat($k, ':', count($x), ':', sum($x)), ';')"
+    ).column(env={"d": F.col("doc_id")})
+    counted = compile_expr(
+        "string-join(for $x in (1 to 1 + $d mod 5) count $c "
+        "return concat($c, 'x', $x), ',')"
+    ).column(env={"d": F.col("doc_id")})
+    return docs.select("doc_id", grouped.alias("grouped"),
+                       counted.alias("counted"))
+
+
 FN_QUERIES = {
     "extract_regex": q_extract_regex,
     "string_functions": q_string_functions,
     "sequence_ops": q_sequence_ops,
     "json_access": q_json_access,
     "flwor_group_order": q_flwor_group_order,
-    "window_tumbling": q_window_tumbling,
+    "flwor_group_by": q_flwor_group_by,
     "agg_pricing_summary": q_agg_pricing_summary,
     "join_broadcast_dim": q_join_broadcast_dim,
 }
