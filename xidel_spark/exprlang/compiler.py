@@ -98,7 +98,14 @@ def _empty_seq(elem_kind: str) -> Column:
 class XQError(ValueError):
     """a DYNAMIC XQuery error the reference reports to stderr and prints
     nothing for (e.g. ebv of a multi-item sequence in standard json-mode);
-    the harness emits no output for the action and continues."""
+    the harness emits no output for the action and continues. Carries the
+    error code as (ns, local) so multipage <try>/<catch errors="..">
+    clauses can match (goldens multipageTry/multipageTryHttp)."""
+
+    def __init__(self, msg: str, ns: str = "err", local: str | None = None):
+        super().__init__(msg)
+        self.ns = ns
+        self.local = local if local is not None else msg.split(":", 1)[0].strip()
 
 
 def jsonv(variant: Column, nulls_are_items: bool) -> Column:
@@ -156,6 +163,8 @@ class Compiler:
         c.assignments = self.assignments  # shared: nested assigns surface
         c.hidden_assignments = self.hidden_assignments
         c._call_depth = self._call_depth
+        if getattr(self, "doc_loader", None) is not None:
+            c.doc_loader = self.doc_loader  # fn:doc hook survives rebinding
         for k, v in kw.items():
             if k == "__ctx":
                 c.ctx = v
@@ -1205,6 +1214,18 @@ class Compiler:
         src = self.compile(n.src)
         seq = src if src.is_seq else self.to_seq(src)
         ek = seq.elem_kind
+        if (isinstance(n.body, P.Call)
+                and n.body.qname.split(":")[-1] == "doc"
+                and n.body.args and isinstance(n.body.args[0], P.Lit)
+                and getattr(self, "doc_loader", None) is not None):
+            # 'x / doc("...")' (the path-step-call rewrite): doc() ignores
+            # the context item, so the loaded document's nodes repeat per
+            # source item and the result STAYS a node set with the new
+            # document's backing (golden regression_doconline)
+            dtv = self.compile(n.body)
+            if dtv.kind == "nodes":
+                col = F.flatten(F.transform(seq.col, lambda _el: dtv.col))
+                return TV(col, "nodes", backing=dtv.backing)
         out_kind: list[str] = []
 
         def body(el, i):
@@ -1891,6 +1912,14 @@ class Compiler:
                          for an, tv in visible if an == nm]
                 out = F.when(arg_s == nm, F.array(*forms)).otherwise(out)
             return TV(out, "seq:string")
+        if local in ("int", "integer") and n.args \
+                and isinstance(n.args[0], P.Lit) and n.args[0].kind == "string":
+            import re as _re
+
+            if not _re.match(r"^\s*[+-]?\d+\s*$", str(n.args[0].value)):
+                # static out-of-lexical-space constructor argument: the
+                # dynamic error FORG0001 (multipageTry's int("f"))
+                raise XQError(f"FORG0001: {n.args[0].value!r} is not an integer")
         sf = getattr(self, "_f_" + local.replace("-", "_"), None)
         if sf is not None:
             return sf(args)
@@ -2043,6 +2072,23 @@ class Compiler:
         )
         str_result = agg(keyed)["v"]
         return TV(F.when(all_numeric, num_result).otherwise(str_result), "string")
+
+    def _f_resolve_uri(self, args: list[TV]) -> TV:
+        """resolve-uri(rel[, base]): the 1-arg form resolves against the
+        static base URI — the current document's URL (the harness binds it
+        as the magic $url; goldens regression_multipage3/3b)."""
+        from ..urlnorm import resolve_url_expr
+
+        rel = self.to_string(args[0])
+        if len(args) >= 2:
+            base = self.to_string(args[1])
+        else:
+            b = self.env.get("url")
+            if b is None:
+                base = F.lit("")
+            else:
+                base = b.col if isinstance(b, TV) else b
+        return TV(resolve_url_expr(rel, base), "string")
 
     def _f_outer_xml(self, args: list[TV]) -> TV:
         return self._serialize_xml(args, inner=False)

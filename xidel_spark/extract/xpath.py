@@ -176,6 +176,13 @@ class _Parser:
     def parse_step(self, default_axis: str) -> Step:
         k, v = self.peek()
         axis = default_axis
+        if k == "sym" and v == "(":
+            # parenthesized path step — 'a/(text())' keeps the inner step's
+            # semantics under the surrounding axis (golden regression_text1c)
+            self.next()
+            inner = self.parse_step(default_axis)
+            self.expect("sym", ")")
+            return inner
         if k == "dotdot":
             self.next()
             return Step("parent", "node()", self._parse_preds())

@@ -64,6 +64,7 @@ class Extraction:
 class Source:
     value: str  # literal markup, file path, or '-'
     input_format: str | None = None
+    request: dict | None = None  # http(s) sources: the captured request tuple
 
 
 class PC:
@@ -109,10 +110,34 @@ _FLAG_OPTS = {
     "--deprecated-string-options",
 }
 _SKIP_OPTS = {
-    "--download", "--post", "--method", "--header", "--form", "--user-agent",
-    "--proxy", "--error-handling", "--wait", "--compressed",
+    "--user-agent", "--proxy", "--wait",
     "--print-received-headers", "--load-cookies", "--save-cookies",
 }
+
+# request options accumulate like the reference's combineMultiArgs
+# (xidelbase.pas:3285-3292): values join on the separator while the
+# accumulator is 'open' (trailing separator); a leading '&' always joins;
+# an empty value clears; a data-source arg closes the accumulator
+_MULTI_OPTS = {"--post": "&", "-d": "&", "--form": "\0", "--header": "\r\n",
+               "-H": "\r\n"}
+# request options restored at ']' (pushCommandLineState/pop, :3241-3269)
+_SCOPED_OPTS = ("method", "error-handling")
+
+
+def _combine_multi(old: str | None, append: str, sep: str) -> str:
+    if append == "":
+        return ""
+    if append.startswith("&"):
+        append = append[1:]
+    elif not (old or "").endswith(sep):
+        old = ""
+    return (old or "") + append + sep
+
+
+def _close_multi(val: str | None, sep: str) -> str:
+    if val is None:
+        return ""
+    return val[: -len(sep)] if val.endswith(sep) else val
 
 
 class Sim:
@@ -128,6 +153,7 @@ class Sim:
         self.result: tuple[str, object] | None = None
         self.seen: set[str] = set()
         self.groups: list[dict] = []  # {'doc': i, 'entries': [(name, [vals])]}
+        self.raw_out: list[str] = []  # --download '-' raw response chunks
         self.doc_counter = 0
         self.magic: dict[str, str] = {}
         self.funcs: dict = {}  # declared/imported functions, persist across -e
@@ -152,10 +178,46 @@ class Sim:
         def add_action(expr: str, kind: str):
             cur.actions.append(Extraction(expr, kind))
 
+        # request-option accumulators (combineMultiArgs state) + the
+        # [ ]-scoped snapshot stack (pushCommandLineState/pop)
+        acc: dict[str, str | None] = {"post": None, "form": None, "header": None}
+        optstack: list[tuple[dict, dict]] = []
+
+        def capture_request(url: str) -> dict:
+            post_set = acc["post"] is not None
+            form_set = acc["form"] is not None
+            method = self.opts.get("method")
+            if method is None:
+                method = "POST" if (post_set or form_set) else "GET"
+            method = str(method)
+            if method == "-":
+                if self.stdin is None:
+                    raise Skip("stdin method, none provided")
+                method = self.stdin.strip()
+            data = _close_multi(acc["post"], "&") if post_set else ""
+            if data == "-":
+                if self.stdin is None:
+                    raise Skip("stdin post data, none provided")
+                data = self.stdin[:-1] if self.stdin.endswith("\n") else self.stdin
+            form = [f for f in _close_multi(acc["form"], "\0").split("\0") if f] \
+                if form_set else []
+            headers = [h for h in _close_multi(acc["header"], "\r\n").split("\r\n")
+                       if h.strip()]
+            return {"url": url, "method": method.upper(), "post": data,
+                    "form": form, "headers": headers,
+                    "error-handling": self.opts.get("error-handling")}
+
+        def close_accs():
+            for k, sep in (("post", "&"), ("form", "\0"), ("header", "\r\n")):
+                if acc[k] is not None:
+                    acc[k] = _close_multi(acc[k], sep)
+
         while i < len(toks):
             t = toks[i]
             i += 1
             if t == "[":
+                optstack.append((dict(acc),
+                                 {k: self.opts.get(k) for k in _SCOPED_OPTS}))
                 nb = PC()
                 stack.append((cur, nb))
                 cur = nb
@@ -163,6 +225,14 @@ class Sim:
             if t == "]":
                 if not stack:
                     raise Skip("unbalanced ]")
+                if optstack:
+                    saved_acc, saved_opts = optstack.pop()
+                    acc.update(saved_acc)
+                    for k, v in saved_opts.items():
+                        if v is None:
+                            self.opts.pop(k, None)
+                        else:
+                            self.opts[k] = v
                 outer, bbase = stack.pop()
                 cond_ds = (
                     (cur is bbase and not cur.actions and cur.data)
@@ -194,6 +264,12 @@ class Sim:
                     if not p.exists():
                         raise Skip(f"extract-file {expr}")
                     expr = p.read_text()
+                elif expr == "-":
+                    # '-e -': the expression itself comes from stdin
+                    # (golden stdin2, tests.sh:81)
+                    if self.stdin is None:
+                        raise Skip("stdin expression, none provided")
+                    expr = self.stdin.strip()
                 add_action(expr, _KIND_OPTS.get(opt, "auto"))
                 continue
             if t in ("-f", "--follow") or name == "--follow":
@@ -232,6 +308,43 @@ class Sim:
                 continue
             if name in _SKIP_OPTS or t in _SKIP_OPTS:
                 raise Skip(f"option {name or t}")
+            if name in _MULTI_OPTS or t in _MULTI_OPTS:
+                opt = name if name in _MULTI_OPTS else t
+                if eq:
+                    v = val
+                else:
+                    if i >= len(toks):
+                        raise Skip(f"missing arg for {t}")
+                    v = toks[i]
+                    i += 1
+                key = {"-d": "post", "-H": "header"}.get(opt, opt[2:])
+                acc[key] = _combine_multi(acc[key], v, _MULTI_OPTS[opt])
+                continue
+            if t == "--compressed" or name == "--compressed":
+                acc["header"] = _combine_multi(
+                    acc["header"], "Accept-Encoding: gzip", "\r\n")
+                continue
+            if name in ("--method", "--error-handling") \
+                    or t in ("--method", "--error-handling"):
+                if eq:
+                    v = val
+                else:
+                    if i >= len(toks):
+                        raise Skip(f"missing arg for {t}")
+                    v = toks[i]
+                    i += 1
+                self.opts[(name or t)[2:]] = v
+                continue
+            if name == "--download" or t == "--download":
+                if eq:
+                    v = val
+                else:
+                    if i >= len(toks):
+                        raise Skip("missing arg for --download")
+                    v = toks[i]
+                    i += 1
+                cur.actions.append(Extraction(v, "download"))
+                continue
             if name in _FLAG_OPTS or t in _FLAG_OPTS:
                 if eq:
                     self.opts[name[2:]] = val not in ("false", "0")
@@ -262,13 +375,17 @@ class Sim:
             if t.startswith("--"):
                 raise Skip(f"option {t}")
             # data source
-            if t.startswith(("http://", "https://", "ftp://")):
+            if t.startswith("ftp://"):
                 raise Skip("online fetch")
+            req = None
+            if t.startswith(("http://", "https://")):
+                req = capture_request(t)
             if (cur.parent is not None and cur.parent.followTo is cur) or cur.actions:
                 sib = PC(parent=cur.parent)
                 cur.nextSibling = sib
                 cur = sib
-            cur.data.append(Source(t, pending_input_format))
+            cur.data.append(Source(t, pending_input_format, request=req))
+            close_accs()  # closeAllMultiArgs after every data source
 
         # trailing-follow recursion fixup (xidelbase.pas:3829-3841)
         if cur.parent is not None and not cur.actions and not cur.data:
@@ -459,8 +576,12 @@ class Sim:
         fmt = None
         base = None
         if isinstance(src, Source):
+            if src.request is not None:
+                return self._fetch_sim(src.request, level, src.input_format)
             ref, fmt = src.value, src.input_format
-        elif isinstance(src, tuple):  # (ref, base_url, fmt)
+        elif isinstance(src, tuple):  # (ref, base_url, fmt) | ('__req__', dict)
+            if src and src[0] == "__req__":
+                return self._fetch_sim(src[1], level, None)
             ref, base, fmt = src
         else:
             ref = src
@@ -470,7 +591,9 @@ class Sim:
             return self._mkdoc("-", self.stdin, level, fmt)
         if ref.lstrip().startswith("<"):
             return self._mkdoc("", ref, level, fmt)
-        if ref.startswith(("http://", "https://", "ftp://")):
+        if ref.startswith(("http://", "https://")):
+            return self._fetch_sim({"url": ref, "method": "GET"}, level, fmt)
+        if ref.startswith("ftp://"):
             raise Skip("online fetch")
         path = self._resolve_path(ref, base)
         p = self.ref_root / path
@@ -481,6 +604,47 @@ class Sim:
         except UnicodeDecodeError:
             text = p.read_text(encoding="latin-1")  # golden encodingJson
         return self._mkdoc(path, text, level, fmt)
+
+    def _fetch_sim(self, req: dict, level: int, fmt: str | None):
+        """offline stand-in for the network fetch: the harness/echo
+        endpoints render the exact response bytes for the request tuple;
+        unknown hosts stay Skips (genuinely online-only cases)."""
+        from ..exprlang.compiler import XQError
+        from .echo import HttpError, simulate_fetch
+
+        req = dict(req)
+        if req.get("post"):
+            # command-line option values interpolate variables at request
+            # time (golden post6: --post 'data={$v}')
+            req["post"] = self._interp_vars(req["post"])
+        try:
+            markup = simulate_fetch(req, self.ref_root)
+        except HttpError as e:
+            raise XQError(f"HTTP {e.status} for {req.get('url')}",
+                          ns="http", local=str(e.status)) from None
+        if markup is None:
+            raise Skip("online fetch")
+        if fmt is None and (req.get("url") or "").endswith("/xidelecho.php"):
+            # the .php echo serves content-type text/html → the reference
+            # parses it with the LENIENT tree builder: trailing text after
+            # </xml> stays in the tree, so '-e /' sees the final newline
+            # (post7/post8 whole-document values). The .pl echo is
+            # text/xml and parses case-preserving (its <ENV_VAR> tags).
+            fmt = "lenient"
+        return self._mkdoc(req["url"], markup, level, fmt)
+
+    def _interp_vars(self, s: str) -> str:
+        """{$name} → the variable's string value (option interpolation)."""
+        def rep(m):
+            name = m.group(1)
+            if name in self.vars:
+                shape, value = self.vars[name]
+                if shape == "seq":
+                    return " ".join(str(v) for v in value)
+                return str(value)
+            return m.group(0)
+
+        return re.sub(r"\{\$(\w+)\}", rep, s)
 
     def _mkdoc(self, url: str, markup: str, level: int, fmt: str | None):
         fmt = fmt or self._opt("input-format") or "auto"
@@ -506,6 +670,10 @@ class Sim:
                 nodes = _parse_html_py(markup, wrap=False)
             else:
                 nodes = _parse_xml_py(markup) or _parse_html_py(markup, wrap=False)
+        elif fmt == "lenient":
+            # echo-endpoint responses: the lenient tree without wrapping
+            # (keeps trailing text after the root element in the tree)
+            nodes = _parse_html_py(markup, wrap=False)
         elif fmt == "html":
             # forced-html mode does NOT protect <?...?> blocks (pinode-html)
             nodes = _parse_html_py(markup, keep_pis=False)
@@ -534,12 +702,24 @@ class Sim:
             # (TDirectDataRequest/TStdinDataRequest.equalTo)
             if ref.value in ("<empty/>", "-"):
                 return None
+            if ref.request is not None:
+                return self._request_identity(ref.request)
             return ref.value
         if isinstance(ref, tuple):
             if ref and ref[0] == "__doc__":
                 return None  # already-processed data yielded upward: never deduped
+            if ref and ref[0] == "__req__":
+                return self._request_identity(ref[1])
             return self._resolve_path(ref[0], ref[1])
         return str(ref)
+
+    @staticmethod
+    def _request_identity(req: dict) -> str:
+        """THTTPRequest.equalTo (xidelbase.pas:1242-1245): the dedup key is
+        the FULL request tuple — url, method, post data, headers, multipart
+        (post4b: same tuple fetched once; post4c: method differs → twice)."""
+        return json.dumps([req.get("url"), req.get("method"), req.get("post"),
+                           req.get("headers") or [], req.get("form") or []])
 
     def _dup(self, ref) -> bool:
         if self._opt("allow-repetitions"):
@@ -623,10 +803,18 @@ class Sim:
 
     def _set_magic(self, d):
         url = d["url"]
+        host = ""
+        path = url if url.startswith("/") else ""
+        if url.startswith(("http://", "https://")):
+            from urllib.parse import urlsplit
+
+            parts = urlsplit(url)
+            host = parts.hostname or ""
+            path = parts.path or "/"
         self.magic = {
             "url": url,
-            "host": "",
-            "path": url if url.startswith("/") else "",
+            "host": host,
+            "path": path,
             "raw": d["markup"],
         }
 
@@ -732,19 +920,61 @@ class Sim:
         return re.sub(r"\{([^{}]*)\}", rep, s)
 
     def _mp_steps(self, nodes, pid, base_dir):
+        for n in self._mp_children(nodes, pid):
+            self._mp_one_step(nodes, n, base_dir)
+
+    def _mp_one_step(self, nodes, n, base_dir):
+        from ..exprlang.compiler import XQError
         from ..extract.nodes import inner_xml_py
 
-        for n in self._mp_children(nodes, pid):
+        if True:
             tag, attrs = n["tag"], n.get("attrs") or {}
+            if tag == "try":
+                # <try>steps<catch errors="..">steps</catch>..</try> —
+                # dynamic errors from body steps match the FIRST catch
+                # whose errors token list covers the (ns, local) code
+                # (goldens multipageTry/multipageTryHttp)
+                children = list(self._mp_children(nodes, n["id"]))
+                prev = getattr(self, "_xq_raise", False)
+                self._xq_raise = True
+                try:
+                    for c in children:
+                        if c["tag"] != "catch":
+                            self._mp_one_step(nodes, c, base_dir)
+                except XQError as e:
+                    self._xq_raise = prev
+                    ns = getattr(e, "ns", "err")
+                    loc = getattr(e, "local", "")
+                    for c in children:
+                        if c["tag"] != "catch":
+                            continue
+                        spec = (c.get("attrs") or {}).get("errors")
+                        if self._catch_matches(spec, ns, loc):
+                            self._mp_steps(nodes, c["id"], base_dir)
+                            break
+                    else:
+                        raise
+                finally:
+                    self._xq_raise = prev
+                return
             if tag == "s":
                 if self._mp_test(attrs):
                     self._mp_script(n.get("text") or "")
             elif tag == "page":
                 url = self._mp_interp(attrs.get("url", ""))
-                if url.startswith(("http://", "https://")):
-                    raise Skip("multipage online page")
                 base = self._mp_page["url"] if getattr(self, "_mp_page", None) else None
-                ref = (url, base, None)
+                if url.lstrip().startswith("{"):
+                    # page url bound to a request OBJECT variable
+                    # (multipageonline: {"url":..,"method":"PUT","post":..})
+                    try:
+                        obj = json.loads(url)
+                    except json.JSONDecodeError:
+                        raise Skip(f"multipage page object {url[:40]}") from None
+                    ref = ("__req__", self._request_of_object(obj))
+                elif url.startswith(("http://", "https://")):
+                    ref = ("__req__", {"url": url, "method": "GET"})
+                else:
+                    ref = (url, base, None)
                 d = self._retrieve(ref, 0)
                 if d is None:
                     raise Skip(f"multipage page {url}")
@@ -798,7 +1028,7 @@ class Sim:
                         n.get("text") or "''", getattr(self, "_mp_page", None)
                     )
             elif tag == "template":
-                continue
+                return
             else:
                 raise Skip(f"multipage step <{tag}>")
 
@@ -814,6 +1044,41 @@ class Sim:
             f"boolean({t})", getattr(self, "_mp_page", None)
         )
         return val == "true"
+
+    @staticmethod
+    def _catch_matches(spec: str | None, ns: str, local: str) -> bool:
+        """<catch errors="tok tok..."> vs an error code (ns, local).
+
+        Token forms pinned by multipageTry/multipageTryHttp: 'ns:local'
+        with '*' wildcards on either side, local prefix-'*' and 'Nxx'
+        class forms for http codes, bare 'httpNNN'/'http' aliases, plain
+        '*'; a BARE name is a no-namespace code and matches neither err:
+        nor http: errors ('FORG0001' does not catch err:FORG0001). The
+        reference raises http errors in its extension namespace, so
+        'pxp:*' also covers them (TryHttp try#7)."""
+        if spec is None:
+            return True
+        for tok in spec.split():
+            if tok == "*":
+                return True
+            if ":" in tok:
+                tns, tloc = tok.split(":", 1)
+            elif ns == "http" and tok == "http":
+                return True
+            elif ns == "http" and tok.startswith("http"):
+                tns, tloc = "http", tok[4:]
+            else:
+                continue  # bare name: no-namespace code
+            if tns not in ("*", ns) and not (ns == "http" and tns == "pxp"):
+                continue
+            if tloc == "*" or tloc == local:
+                return True
+            if tloc.endswith("*") and tloc != "*" and local.startswith(tloc[:-1]):
+                return True
+            if (len(tloc) == 3 and tloc.endswith("xx") and len(local) == 3
+                    and local[0] == tloc[0]):
+                return True
+        return False
 
     def _mp_script(self, script: str):
         """<s> scripts: evaluate against the current page, record variable
@@ -849,6 +1114,14 @@ class Sim:
 
     def eval_action(self, act: Extraction, d):
         kind = act.kind
+        if kind == "download":
+            # --download: '-' streams the raw response bytes to stdout
+            # (golden post3c); file targets are driver-side in this CLI
+            # replay and stay skipped
+            if act.expr != "-":
+                raise Skip(f"download to file {act.expr}")
+            self.raw_out.append(d["markup"])
+            return
         if kind == "multipage" or (
             kind == "auto" and self._opt("extract-kind") == "multipage"
         ):
@@ -969,10 +1242,13 @@ class Sim:
         return self._opt("json-mode") not in ("standard", "jsoniq")
 
     def _doc_loader(self, ref: str):
-        """fn:doc with a constant path — compile-time literal node array
-        (golden regression_doclocal)."""
+        """fn:doc with a constant path or simulated URL — compile-time
+        literal node array (goldens regression_doclocal/_doconline)."""
         from ..extract.nodes import nodes_literal_column
 
+        if ref.startswith(("http://", "https://")):
+            d = self._fetch_sim({"url": ref, "method": "GET"}, 0, None)
+            return nodes_literal_column(d["nodes"])
         p = self.ref_root / ref
         if not p.exists():
             return None
@@ -1063,7 +1339,10 @@ class Sim:
             tv = c.compile(ce.ast)
         except XQError:
             # dynamic error: the reference reports to stderr and prints
-            # nothing for the action (standard-mode ebv/atomization)
+            # nothing for the action (standard-mode ebv/atomization) —
+            # unless a multipage <try> is waiting to catch it
+            if getattr(self, "_xq_raise", False):
+                raise
             return
         except Exception as e:
             raise Skip(f"compile: {e}") from None
@@ -1179,9 +1458,21 @@ class Sim:
     def eval_follow(self, sel: str, d) -> list:
         sel = self._ci_selector(sel, d)
         kind = detect_kind(sel)
-        if kind == "pattern":
-            raise Skip("pattern follow")
         base_url = d["url"]
+        if kind == "pattern":
+            # follow TEMPLATE (xidelbase ekPattern follow): each capture
+            # value becomes a follow-to item — strings are addresses,
+            # objects carry data/url like follow objects
+            # (golden regression_text1e)
+            try:
+                caps = match_template(sel, d["nodes"])
+            except ValueError as e:
+                raise Skip(str(e)) from None
+            vals: list[str] = []
+            for _name, expr, node_id in caps or []:
+                cvals, _k = self._eval_capture(expr, d, node_id)
+                vals.extend(cvals)
+            return self._follow_refs(vals, base_url)
         if kind == "css":
             cx = compile_css(sel)
             nodes = self._nodes_col(d)
@@ -1221,8 +1512,11 @@ class Sim:
         else:
             col = F.array(c.to_string(tv))
         row = self.spark.range(1).select(col.alias("r")).first()
+        return self._follow_refs(list(row["r"] or []), base_url)
+
+    def _follow_refs(self, vals: list, base_url: str) -> list:
         out = []
-        for v in row["r"] or []:
+        for v in vals:
             if v is None:
                 continue
             v = v.strip()
@@ -1232,12 +1526,36 @@ class Sim:
                 except json.JSONDecodeError:
                     raise Skip("follow object") from None
                 ref = obj.get("data") or obj.get("url")
-                if ref is None or str(ref).startswith("http"):
-                    raise Skip("follow object online")
-                out.append((str(ref), base_url, obj.get("input-format")))
+                if ref is None:
+                    raise Skip("follow object")
+                if str(ref).startswith("http"):
+                    # follow-object request: url + per-request options
+                    # (method/post/headers/error-handling — the reference's
+                    # TOptionReaderFromObject surface)
+                    out.append(("__req__", self._request_of_object(obj)))
+                else:
+                    out.append((str(ref), base_url, obj.get("input-format")))
             elif v:
                 out.append((v, base_url, None))
         return out
+
+    @staticmethod
+    def _request_of_object(obj: dict) -> dict:
+        """follow-object / multipage-page object → request dict (the
+        TOptionReaderFromObject option surface: url, method, post, headers,
+        error-handling; post implies POST unless method overrides)."""
+        method = obj.get("method")
+        if method is None:
+            method = "POST" if obj.get("post") is not None else "GET"
+        headers = obj.get("headers") or []
+        if isinstance(headers, str):
+            headers = [headers]
+        if obj.get("header"):
+            headers = list(headers) + [obj["header"]]
+        return {"url": str(obj.get("url")), "method": str(method).upper(),
+                "post": obj.get("post") or "", "form": [],
+                "headers": [str(h) for h in headers],
+                "error-handling": obj.get("error-handling")}
 
     def _href_of(self, d, node_id: int) -> str | None:
         n = d["nodes"][node_id]
@@ -1247,6 +1565,14 @@ class Sim:
     # -- output assembly -----------------------------------------------------
 
     def _finish(self) -> str:
+        if self.raw_out:
+            # --download '-' chunks stream verbatim ahead of any formatted
+            # extraction output (post3c is download-only)
+            return "".join(self.raw_out) + (self._finish_fmt()
+                                            if self.groups else "")
+        return self._finish_fmt()
+
+    def _finish_fmt(self) -> str:
         fmt = self._opt("output-format", "adhoc")
         if fmt == "json":
             fmt = "json-wrapped"  # deprecated alias (tests.sh:135)

@@ -143,16 +143,22 @@ def serialize_document(
             parts.append("\n")
         if footer is None:
             wrapper_footer = le + f + "\n"
-    body = sep.join(format_item(fmt, n, v) for n, v in items)
+    formatted = [format_item(fmt, n, v) for n, v in items]
+    body = sep.join(formatted)
     parts.append(body)
     if footer is not None:
         parts.append(footer)
     elif wrapper_footer is not None:
         parts.append(wrapper_footer)
-    else:
-        # one line ending per item: a trailing EMPTY item still gets its
-        # own line (jsonmode/default's final name(()) prints a blank line)
-        if items:
+    elif items:
+        # the final line ending is written only when the LAST WRITTEN char
+        # is not already a line break (xidelcrt.pas:280); separators don't
+        # count as written chars, so a trailing EMPTY item still gets its
+        # blank line (jsonmode/default's final name(())) while a value
+        # ending in '\n' does not double it (post7/post8 whole-document
+        # string values)
+        lastch = next((f[-1] for f in reversed(formatted) if f), "")
+        if lastch not in ("\n", "\r"):
             parts.append("\n")
     return "".join(parts)
 
