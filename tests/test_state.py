@@ -87,6 +87,26 @@ def test_crawler_matches_engine_seen(spark, cyclic_links):
     assert {r["url"] for r in run.seen.collect()} == {r["url"] for r in ref.seen.collect()}
 
 
+def test_crawler_parquet_checkpoint_equal(spark, cyclic_links, tmp_path):
+    """xidel.crawl.checkpointImpl=parquet (the RDD-free tmpfs round-trip,
+    BASELINE.md wave-checkpoint microbench) is result-identical to the
+    default localCheckpoint+stats-reset path."""
+    plain = FrontierCrawler(spark, cyclic_links).run(SEEDS)
+    spark.conf.set("xidel.crawl.checkpointImpl", "parquet")
+    spark.conf.set("xidel.crawl.checkpointDir", str(tmp_path / "ck"))
+    try:
+        pq = FrontierCrawler(spark, cyclic_links).run(SEEDS)
+        assert {r["url"] for r in plain.seen.collect()} == {
+            r["url"] for r in pq.seen.collect()
+        }
+        assert [m["enqueued"] for m in plain.metrics] == [
+            m["enqueued"] for m in pq.metrics
+        ]
+    finally:
+        spark.conf.unset("xidel.crawl.checkpointImpl")
+        spark.conf.unset("xidel.crawl.checkpointDir")
+
+
 def test_crawler_bloom_path_equal(spark, cyclic_links):
     plain = FrontierCrawler(spark, cyclic_links).run(SEEDS)
     bloomed = FrontierCrawler(spark, cyclic_links, use_bloom=True, bloom_shards=4).run(SEEDS)

@@ -75,8 +75,21 @@ def checkpoint_reset_stats(df: DataFrame, eager: bool = True) -> DataFrame:
     estimate bounded. Trade-off: the reset side loses auto-broadcast
     eligibility — all loop joins here use explicit broadcast hints anyway.
     """
-    ck = df.localCheckpoint(eager=eager)
     spark = df.sparkSession
+    if spark.conf.get("xidel.crawl.checkpointImpl", "local") == "parquet":
+        # RDD-free alternative (VERDICT r4 task 8): parquet round-trip on a
+        # tmpfs dir — stats come from file sizes, so no reset needed. On a
+        # real cluster this is the Iceberg-append shape; on this box the
+        # 12-wave 1M-node microbench measured it ~10% SLOWER warm than
+        # localCheckpoint (27.6 s vs 24.8 s, BASELINE.md), below the 15%
+        # switch bar — 'local' stays the default.
+        import uuid
+
+        base = spark.conf.get("xidel.crawl.checkpointDir", "/dev/shm/xidel_ck")
+        path = f"{base}/{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+    ck = df.localCheckpoint(eager=eager)
     jdf = ck._jdf
     new_jdf = spark._jsparkSession.internalCreateDataFrame(
         jdf.queryExecution().toRdd(), jdf.schema(), False
