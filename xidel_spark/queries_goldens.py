@@ -31,6 +31,62 @@ GOLDEN_CASES = [
     "varenviron3", "jsonreassign", "multipage", "multipage2",
     "jsonmode/default-literals", "regression_entity3b", "regression_htmlparse",
     "dtd-broken",
+    # round-5 widening (VERDICT r4 task 5): the network replay family —
+    # request-tuple dedup (post4b/post4c are the canonical pins), methods,
+    # headers, multipart, multipage-online, follow objects
+    "get1", "post1a", "post1b", "post2", "post3", "post3b", "post3c",
+    "post4", "post4b", "post4c", "post4d", "post5", "post6", "post6b",
+    "post6c", "post7", "post8", "put1a", "put1b", "foobarmeth",
+    "foobarmeth2", "headers", "multipart1", "multipart2",
+    "multipageonline", "multipageonline2", "regression_doconline",
+    "varurlhostpath", "followCustomErrorHandling",
+    # jsonmode matrix (4 modes x 7 surfaces)
+    "jsonmode/default", "jsonmode/default-boolean",
+    "jsonmode/default-dotnotation", "jsonmode/default-equals",
+    "jsonmode/default-null", "jsonmode/default-stringvalue",
+    "jsonmode/deprecated", "jsonmode/deprecated-boolean",
+    "jsonmode/deprecated-dotnotation", "jsonmode/deprecated-equals",
+    "jsonmode/deprecated-literals", "jsonmode/deprecated-null",
+    "jsonmode/deprecated-stringvalue",
+    "jsonmode/jsoniq", "jsonmode/jsoniq-boolean",
+    "jsonmode/jsoniq-dotnotation", "jsonmode/jsoniq-equals",
+    "jsonmode/jsoniq-literals", "jsonmode/jsoniq-null",
+    "jsonmode/jsoniq-stringvalue",
+    "jsonmode/standard", "jsonmode/standard-boolean",
+    "jsonmode/standard-dotnotation", "jsonmode/standard-equals",
+    "jsonmode/standard-literals", "jsonmode/standard-null",
+    "jsonmode/standard-stringvalue",
+    # numeric error-model matrices + json mutation
+    "divisionInt", "modulo", "jsonassign", "jsonassignarray",
+    "jsonmultiassign",
+    # multipage control flow incl. the round-5 try/catch matrix
+    "multipage3", "multipage4", "multipageChoose", "multipageChoose3",
+    "multipageChoose4", "multipageChooseO1", "multipageChooseO2",
+    "multipageChooseO3", "multipageIf0", "multipageIf1", "multipageShort",
+    "multipageShortF", "multipageTry", "multipageTryHttp",
+    "multipageVariable",
+    # depth limits, siblings, stdin, patterns, var logs, modules
+    "maxlevel0", "maxlevel1", "maxlevel3", "sibling1b", "sibling1c",
+    "sibling1e", "sibling2b", "sibling3b", "sibling3c",
+    "stdin1", "stdin2", "template", "t1",
+    "varlogAB", "varlogAC", "varlogBC", "varresult", "varraw",
+    "varenviron", "varenviron2", "varnoenviron",
+    "moduleFunc2", "moduleFuncImport2", "moduleFuncImportGlobalMut",
+    "moduleFuncImportGlobalMut2", "moduleFuncImportGlobalMut3",
+    # output-format matrix slices + separators + declarations
+    "adhoc-json", "adhoc11", "bash-escape7", "bash-json", "cmd7",
+    "html-json", "json9b", "json10", "xml2-json", "xmlraw9b", "xmlraw11",
+    "htmlraw5c", "separator-adhoc", "separator-xml", "separator-html",
+    "linebreaksXMLElementNodes-Decl-Indent",
+    "linebreaksHTMLOutput-NoDecl-Indent",
+    # round-5 straggler closures + parser edges
+    "regression_text1a", "regression_text1c", "regression_text1d",
+    "regression_text1e", "regression_multipage3", "regression_multipage3b",
+    "regression_doclocal", "regression_object1", "regression_object2",
+    "regression_mutablevariable1", "regression_mutablevariable2",
+    "pinode-xml", "pinode-xml-strict", "dtd-working", "encodingJson",
+    "inputformatAutoJson", "namespace1", "namespace2", "eval",
+    "xquery5", "xquerypath", "css", "css2",
 ]
 
 
