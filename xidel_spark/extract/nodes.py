@@ -382,7 +382,10 @@ def _fill_string_values(nodes: list[dict]) -> None:
 
 
 def _esc_text(s: str) -> str:
-    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    # the reference's writer escapes quotes in TEXT nodes too (golden
+    # pinode-html: " -> &quot;, ' -> &apos;)
+    return (s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+            .replace('"', "&quot;").replace("'", "&apos;"))
 
 
 def _esc_attr(s: str) -> str:
@@ -513,7 +516,9 @@ def nodes_literal_column(parsed: list[dict]) -> tuple[Column, list[int]]:
 def _esc_text_expr(c: Column) -> Column:
     c = F.replace(c, F.lit("&"), F.lit("&amp;"))
     c = F.replace(c, F.lit("<"), F.lit("&lt;"))
-    return F.replace(c, F.lit(">"), F.lit("&gt;"))
+    c = F.replace(c, F.lit(">"), F.lit("&gt;"))
+    c = F.replace(c, F.lit('"'), F.lit("&quot;"))
+    return F.replace(c, F.lit("'"), F.lit("&apos;"))
 
 
 def _esc_attr_expr(c: Column) -> Column:

@@ -893,6 +893,9 @@ class Sim:
                 order.append(aid)
         if not actions:
             raise Skip("multipage: no <action>")
+        # the action table stays loaded for later x:call-action /
+        # x:has-action calls from -e/--xquery strings (moreActions*)
+        self._mp_loaded = (nodes, actions, base_dir)
         sel = self._opt("template-action")
         if sel:
             wanted = []
@@ -1082,12 +1085,174 @@ class Sim:
 
     def _mp_script(self, script: str):
         """<s> scripts: evaluate against the current page, record variable
-        assignments, print NOTHING (the reference logs them to stderr)."""
+        assignments, print NOTHING (the reference logs them to stderr) —
+        EXCEPT under x:call-action, where the caller collects the change
+        log into its own print stream (golden moreActions)."""
         d = getattr(self, "_mp_page", None) or self._mkdoc("", "<empty/>", 0, None)
         self._set_magic(d)
         mark = len(self.groups)
         self._eval_expr(script, d, "expr")
-        del self.groups[mark:]
+        if not getattr(self, "_mp_keep_logs", False):
+            del self.groups[mark:]
+
+    def _eval_expr_imperative(self, src: str, d, kind: str):
+        """x:call-action / x:has-action (reference tests/more.actions):
+        imperative invocation of a loaded multipage <action> from inside an
+        expression. The top-level comma sequence evaluates item by item so
+        action side effects interleave with assignments in log order;
+        static `for` loops over call-actions unroll. Change-log entries
+        (incl. those produced by the called actions' <s>/<pattern> steps)
+        print as one group before the result values — the reference's
+        'variables set by call-action are reordered before the extract
+        print' behavior (goldens moreActions, moreActions3)."""
+        from ..exprlang import compile_expr
+        from ..exprlang import parser as P
+        from ..exprlang.compiler import Compiler, XQError
+
+        try:
+            ce = compile_expr(src, json_literals=self._json_literals_for(kind))
+        except Exception as e:
+            raise Skip(f"parse: {e}") from None
+        self.funcs.update(ce._funcs)
+        items = ce.ast.items if isinstance(ce.ast, P.SeqExpr) else [ce.ast]
+        entries: list = []
+        results: list = []
+
+        def loaded():
+            tab = getattr(self, "_mp_loaded", None)
+            if tab is None:
+                raise Skip("x:call-action without a loaded action table")
+            return tab
+
+        def localname(ast) -> str | None:
+            if isinstance(ast, P.Call):
+                return ast.qname.split(":")[-1]
+            return None
+
+        def arg_str(ast) -> str | None:
+            if isinstance(ast, P.Lit) and ast.kind == "string":
+                return str(ast.value)
+            if isinstance(ast, P.VarRef):
+                shape, val = self.vars.get(ast.name, (None, None))
+                if shape == "string":
+                    return str(val)
+            return None
+
+        def run_action(aid: str):
+            optional = aid.endswith("?")
+            aid = aid.rstrip("?")
+            nodes, actions, base_dir = loaded()
+            if aid not in actions:
+                if optional:
+                    return
+                raise Skip(f"x:call-action {aid!r} missing")
+            mark = len(self.groups)
+            prev = getattr(self, "_mp_keep_logs", False)
+            self._mp_keep_logs = True
+            try:
+                self._mp_steps(nodes, actions[aid], base_dir)
+            finally:
+                self._mp_keep_logs = prev
+            for g in self.groups[mark:]:
+                entries.extend(g["entries"])
+            del self.groups[mark:]
+
+        def contains_call(ast) -> bool:
+            if localname(ast) == "call-action":
+                return True
+            for f in getattr(ast, "__dataclass_fields__", {}):
+                v = getattr(ast, f)
+                vs = v if isinstance(v, (list, tuple)) else [v]
+                for x in vs:
+                    if isinstance(x, (list, tuple)):
+                        if any(contains_call(y) for y in x
+                               if hasattr(y, "__dataclass_fields__")):
+                            return True
+                    elif hasattr(x, "__dataclass_fields__") and contains_call(x):
+                        return True
+            return False
+
+        def rewrite_has(ast):
+            if localname(ast) == "has-action":
+                aid = arg_str(ast.args[0]) if ast.args else None
+                _nodes, actions, _bd = loaded()
+                ok = aid is not None and aid.rstrip("?") in actions
+                return P.Lit(ok, "bool")
+            for f in getattr(ast, "__dataclass_fields__", {}):
+                v = getattr(ast, f)
+                if isinstance(v, list):
+                    setattr(ast, f, [
+                        rewrite_has(x) if hasattr(x, "__dataclass_fields__") else x
+                        for x in v
+                    ])
+                elif hasattr(v, "__dataclass_fields__"):
+                    setattr(ast, f, rewrite_has(v))
+            return ast
+
+        def eval_one(it):
+            it = rewrite_has(it)
+            nodes_col = self._nodes_col(d)
+            env = self._env(d)
+            c = Compiler(env=ce._env_with_docs(env), nodes=nodes_col,
+                         funcs=dict(self.funcs),
+                         dot_notation=self._dot_notation(),
+                         json_mode=str(self._opt("json-mode", "unified")))
+            c.doc_loader = self._doc_loader
+            try:
+                tv = c.compile(it)
+                rcol, rkind = self._printed(c, tv, nodes_col)
+                cols = [rcol.alias("r")]
+                akinds = []
+                for j, (_name, v) in enumerate(c.assignments):
+                    acol, ak = self._printed(c, v, nodes_col)
+                    cols.append(acol.alias(f"a{j}"))
+                    akinds.append(ak)
+                row = self.spark.range(1).select(*cols).first()
+            except XQError:
+                return
+            except Exception as e:
+                raise Skip(f"eval: {type(e).__name__}: {str(e)[:120]}") from None
+            if c.assignments:
+                for j, (name, _v) in enumerate(c.assignments):
+                    vals = list(row[f"a{j}"] or [])
+                    entries.append((name, vals, akinds[j]))
+                    self.vars[name] = ("seq", vals) if len(vals) != 1 \
+                        else ("string", vals[0])
+            else:
+                results.append((list(row["r"] or []), rkind))
+
+        def eval_items(seq):
+            for it in seq:
+                if localname(it) == "call-action":
+                    aid = arg_str(it.args[0]) if it.args else None
+                    if aid is None:
+                        raise Skip("x:call-action with dynamic id")
+                    run_action(aid)
+                    continue
+                if isinstance(it, P.Flwor) and contains_call(it):
+                    if (len(it.clauses) != 1 or it.clauses[0][0] != "for"
+                            or not isinstance(it.clauses[0][2], P.SeqExpr)
+                            or it.where is not None or it.order_by is not None):
+                        raise Skip("dynamic loop over x:call-action")
+                    _w, var, seqast = it.clauses[0]
+                    for vast in seqast.items:
+                        v = arg_str(vast)
+                        if v is None:
+                            raise Skip("dynamic loop over x:call-action")
+                        self.vars[var] = ("string", v)
+                        body = (it.ret.items
+                                if isinstance(it.ret, P.SeqExpr) else [it.ret])
+                        eval_items(body)
+                    continue
+                eval_one(it)
+
+        eval_items(items)
+        if entries:
+            self._emit(entries, "vars")
+        vals = [v for vs, _k in results for v in vs]
+        if results:
+            self._emit([("result", vals, results[0][1])])
+            self.result = ("seq", vals) if len(vals) != 1 else ("string", vals[0])
 
     def _mp_template(self, tmpl: str):
         """match a template against the current page; anonymous captures
@@ -1141,7 +1306,10 @@ class Sim:
             src = act.expr
             if kind in ("xquery", "expr"):
                 src = self._decode_entities(src)
-            self._eval_expr(src, d, kind, base_dir=act.base_dir)
+            if "call-action" in src or "has-action" in src:
+                self._eval_expr_imperative(src, d, kind)
+            else:
+                self._eval_expr(src, d, kind, base_dir=act.base_dir)
 
     def _nodes_col(self, d):
         col, _roots = nodes_literal_column(d["nodes"])
