@@ -164,3 +164,20 @@ def test_instance_of_dynamic_plan_shape(spark):
     assert plan.count("*(") >= 1  # whole-stage codegen spans
     schema = plan.split("ReadSchema")[1][:160]
     assert "o_orderkey" in schema and "o_totalprice" not in schema
+
+
+def test_flwor_group_by_plan_shape(spark):
+    """round-5 in-string `group by`/`count`: the grouped FLWOR compiles to
+    per-row higher-order Catalyst (array_distinct/filter/transform) — zero
+    Python nodes, zero exchanges, pruned scan. The DISTRIBUTED grouping
+    path is the library operator; this is the expression surface."""
+    from xidel_spark.queries_fn import q_flwor_group_by
+
+    plan = (
+        q_flwor_group_by(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") == 0
+    schema = plan.split("ReadSchema")[1][:160]
+    assert "doc_id" in schema and "text" not in schema
