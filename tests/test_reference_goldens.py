@@ -56,4 +56,4 @@ def test_reference_goldens_byte_exact(spark):
         else:
             failures.append(f"{name}: output mismatch (line {line})")
     assert not failures, f"{len(failures)} regressions:\n" + "\n".join(failures[:25])
-    assert passed >= 380, passed
+    assert passed >= 382, passed

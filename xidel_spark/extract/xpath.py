@@ -493,7 +493,9 @@ def _node_pred(pred, nodes: Column, n) -> Column | None:
 def _text_of(nodes: Column, n) -> Column:
     """string of the node's first '#text' child (predicate text() tests)."""
     kids = F.filter(nodes, lambda m: (m["parent"] == n["id"]) & (m["tag"] == "#text"))
-    return F.try_element_at(kids, 1)["text"]
+    # the extraction index must be a Column (PySpark's try_element_at
+    # wrapper rejects a bare int)
+    return F.try_element_at(kids, F.lit(1))["text"]
 
 
 def _positional(pred, matched: Column) -> Column:
