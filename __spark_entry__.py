@@ -3,9 +3,12 @@
 entry()      — flagship: exact xidel DFS crawl (dedup ON) over the sf0.001
                interleaved-spans corpus, returning (url, rank, depth, ord,
                title) in crawl order.
-queries()    — 51 named operators from SURVEY.md §2 (crawl core +
+queries()    — 50 named operators from SURVEY.md §2 (crawl core +
                extraction + expression language + xs constructors +
-               scale ops), each (spark, sf_dir) -> DataFrame.
+               scale ops) — exactly the driver's 50-row record budget;
+               redundant gates are merged into multi-mode gates so every
+               registered query gets a CORRECTNESS row. Each callable is
+               (spark, sf_dir) -> DataFrame.
 oracle_sql() — matching DuckDB SQL per query (xidel_spark/oracle*.py);
                every query is fully oracled (rows + schema + value hash).
 """
