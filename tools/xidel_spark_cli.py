@@ -1,6 +1,6 @@
 """xidel-style CLI over the Spark engine — the reference's invocation
 surface (readme.txt:1-60), driven by the same processing-context
-simulator that reproduces 327/364 of the reference's own test goldens
+simulator that reproduces 386/386 of the reference's own test goldens
 byte-exactly (xidel_spark/harness):
 
     python tools/xidel_spark_cli.py '<a>3</a>' -e ' 3 + . '
