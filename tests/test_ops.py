@@ -85,3 +85,64 @@ def test_quality_and_tokens_ranges(spark, docs):
         (F.col("quality") < 0) | (F.col("quality") > 1) | (F.col("n_tokens") <= 0)
     ).count()
     assert bad == 0
+
+
+def test_paragraph_dedup_removes_planted_repeat(spark):
+    from xidel_spark.ops import curation
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h a b c d"),   # chunk[0] == chunk[2]
+            (2, "x y z w p q r s"),           # no repeats
+            (3, ""),                          # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curation.dedup_paragraphs(docs).collect()}
+    assert out[1]["n_parts"] == 3 and out[1]["n_unique"] == 2
+    assert out[1]["dup_ratio"] > 0
+    assert out[2]["n_parts"] == 2 and out[2]["n_unique"] == 2
+    assert out[3]["n_parts"] == 0 and out[3]["n_unique"] == 0
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    from pyspark.sql import functions as F
+
+    from xidel_spark.ops import curation
+
+    docs = spark.createDataFrame(
+        [(1, "mail a@b.com and c@d.org ip 10.0.0.1 call 555-1234 ok")],
+        "doc_id long, text string",
+    )
+    row = curation.scrub_pii(docs).first()
+    assert (row["n_emails"], row["n_ips"], row["n_phones"]) == (2, 1, 1)
+    # redaction is total: scrubbing twice is a fixed point
+    scrubbed = docs.select(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), curation.EMAIL_RE, "[EMAIL]"),
+                curation.IPV4_RE, "[IP]"),
+            curation.PHONE_RE, "[PHONE]").alias("t")
+    ).first()["t"]
+    assert "@" not in scrubbed and "10.0.0.1" not in scrubbed and "555-" not in scrubbed
+
+
+def test_contamination_flags_benchmark_members(spark):
+    from pyspark.sql import functions as F
+
+    from xidel_spark.ops import curation
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "quick brown fox somewhere else entirely today"),  # shares 3-grams with 0
+            (2, "completely disjoint vocabulary nothing matches here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.where(F.col("doc_id") == 0)
+    out = {r["doc_id"]: r for r in curation.contamination_check(docs, bench).collect()}
+    assert out[0]["is_contaminated"]  # benchmark overlaps itself fully
+    assert out[0]["n_contaminated"] == out[0]["n_shingles"]
+    assert out[1]["is_contaminated"] and 0 < out[1]["n_contaminated"] < out[1]["n_shingles"]
+    assert not out[2]["is_contaminated"] and out[2]["n_contaminated"] == 0

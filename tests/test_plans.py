@@ -181,3 +181,25 @@ def test_flwor_group_by_plan_shape(spark):
     assert plan.count("Exchange") == 0
     schema = plan.split("ReadSchema")[1][:160]
     assert "doc_id" in schema and "text" not in schema
+
+
+def test_curation_ops_plan_shape(spark):
+    """round-5 curation ops: paragraph dedup + PII scrub are per-row
+    (zero exchanges, whole-stage codegen); the contamination check's only
+    broadcast is the benchmark n-gram set — documents never build a
+    shuffle for the membership join (the groupBy on doc_id is the one
+    legitimate aggregation exchange)."""
+    from xidel_spark.queries_ops import (
+        q_contamination_ngram, q_dedup_paragraph, q_pii_scrub,
+    )
+
+    for q in (q_dedup_paragraph, q_pii_scrub):
+        plan = q(spark, "/root/testdata/sf0.001")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "EvalPython" not in plan, q.__name__
+        assert plan.count("Exchange") == 0, q.__name__
+    plan = q_contamination_ngram(spark, "/root/testdata/sf0.001") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "BroadcastExchange" in plan  # benchmark side broadcasts
+    assert "SortMergeJoin" not in plan  # membership join never shuffles docs

@@ -194,16 +194,128 @@ SELECT sh.doc_id,
 FROM sh JOIN documents d ON d.doc_id = sh.doc_id
 """
 
+TEXT_STATS = f"""
+WITH {MINHASH_CTES},
+lang AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_min([{_LANG_STRUCTS}]).lang AS lang_pred
+  FROM documents
+),
+f AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         length(text) AS n_chars,
+         len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS n_tokens,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS punct,
+         len(regexp_extract_all(lower(text), '{_STOP["en"]}')) AS stops,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS bpe_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_chars, n_tokens, bpe_tokens,
+         floor(punct / greatest(n_chars, 1) * 10000 + 0.5) / 10000 AS punct_ratio,
+         floor(stops / greatest(n_tokens, 1) * 10000 + 0.5) / 10000 AS stop_ratio
+  FROM f
+),
+fp AS (
+  SELECT sh.doc_id,
+         coalesce(list_min(list_transform(sh.s, x -> md5(x))), md5(d.text)) AS fingerprint
+  FROM sh JOIN documents d ON d.doc_id = sh.doc_id
+)
+SELECT r.doc_id, lang.lang_pred,
+       CAST(r.n_chars AS INT) AS n_chars, CAST(r.n_tokens AS INT) AS n_tokens,
+       r.punct_ratio, r.stop_ratio,
+       floor((least(r.n_tokens / 100.0, 1.0) * 0.5
+             + least(r.stop_ratio * 5, 1.0) * 0.3
+             + (1 - least(r.punct_ratio * 10, 1.0)) * 0.2) * 10000 + 0.5) / 10000 AS quality,
+       CAST(r.n_tokens AS INT) AS ws_tokens, r.bpe_tokens, fp.fingerprint
+FROM r JOIN lang ON lang.doc_id = r.doc_id JOIN fp ON fp.doc_id = r.doc_id
+"""
+
+DEDUP_PARAGRAPH = """
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+         CASE WHEN len(w) = 0 THEN []
+              ELSE list_transform(range(0, CAST(ceil(len(w) / 4.0) AS BIGINT)),
+                                  i -> array_to_string(w[i*4+1:i*4+4], ' '))
+         END AS parts
+  FROM toks
+),
+d AS (
+  SELECT doc_id, parts,
+         list_filter(parts, (x, i) -> list_position(parts, x) = i) AS kept
+  FROM p
+)
+SELECT doc_id, CAST(len(parts) AS INT) AS n_parts,
+       CAST(len(kept) AS INT) AS n_unique,
+       floor((1 - len(kept) / greatest(len(parts), 1)) * 10000 + 0.5) / 10000 AS dup_ratio,
+       md5(array_to_string(kept, chr(10))) AS kept_md5
+FROM d
+"""
+
+_EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}"
+_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PHONE_RE = r"\b555-\d{4}\b"
+
+PII_SCRUB = f"""
+WITH inj AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         text
+         || CASE WHEN doc_id % 3 <> 0
+                 THEN printf(' contact user%d@example.com', doc_id % 97)
+                 ELSE '' END
+         || CASE WHEN doc_id % 2 = 0
+                 THEN printf(' from 10.0.%d.%d', doc_id % 256, doc_id % 100)
+                 ELSE '' END
+         || printf(' call 555-0%03d', doc_id % 1000)
+         || CASE WHEN doc_id % 5 = 0
+                 THEN printf(' cc admin%d@example.org', doc_id % 89)
+                 ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_IPV4_RE}')) AS INT) AS n_ips,
+       CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS INT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '{_EMAIL_RE}', '[EMAIL]', 'g'),
+             '{_IPV4_RE}', '[IP]', 'g'),
+             '{_PHONE_RE}', '[PHONE]', 'g')) AS scrubbed_md5
+FROM inj
+"""
+
+CONTAMINATION_NGRAM = f"""
+WITH {MINHASH_CTES},
+dsh AS (SELECT doc_id, list_distinct(s) AS ds FROM sh),
+bench AS (
+  SELECT DISTINCT unnest(ds) AS ngram FROM dsh WHERE doc_id % 50 = 0
+),
+expl AS (SELECT doc_id, unnest(ds) AS ngram FROM dsh),
+hits AS (
+  SELECT e.doc_id, count(*) AS h
+  FROM expl e JOIN bench b ON e.ngram = b.ngram
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id, CAST(len(d.ds) AS INT) AS n_shingles,
+       CAST(coalesce(h.h, 0) AS INT) AS n_contaminated,
+       coalesce(h.h, 0) > 0 AS is_contaminated
+FROM dsh d LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+
 OPS_ORACLES = {
     "dedup_exact": DEDUP_EXACT,
     "dedup_minhash_sig": DEDUP_MINHASH_SIG,
     "dedup_minhash_lsh_pairs": DEDUP_MINHASH_LSH_PAIRS,
     "ngram_jaccard": NGRAM_JACCARD,
+    "dedup_paragraph": DEDUP_PARAGRAPH,
     "dedup_simhash": DEDUP_SIMHASH,
     "ann_cosine_topk": ANN_COSINE_TOPK,
     "ann_topk_lsh": ANN_TOPK_LSH,
-    "lang_id": LANG_ID,
-    "quality_score": QUALITY_SCORE,
-    "token_stats": TOKEN_STATS,
-    "doc_fingerprint": DOC_FINGERPRINT,
+    "text_stats": TEXT_STATS,
+    "pii_scrub": PII_SCRUB,
+    "contamination_ngram": CONTAMINATION_NGRAM,
 }

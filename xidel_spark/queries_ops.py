@@ -87,16 +87,79 @@ def q_ann_topk_lsh(spark, sf_dir):
     return sim.ann_topk_lsh(queries, emb, k=1, bits=8, tables=8)
 
 
+def q_text_stats(spark, sf_dir):
+    """language-ID + quality heuristics + token counts + fingerprint in
+    one multi-column gate (one row per doc; the four legs were separate
+    driver rows before the 50-row record budget — semantics unchanged)."""
+    docs = _docs(spark, sf_dir)
+    lang = ts.lang_id(docs)
+    qual = ts.quality_features(docs)
+    toks = docs.select(
+        "doc_id",
+        ts.token_count(F.col("text")).cast("int").alias("ws_tokens"),
+        ts.bpe_ish_token_count(F.col("text")).cast("int").alias("bpe_tokens"),
+    )
+    fp = ts.doc_fingerprint(docs)
+    return (
+        lang.join(qual, "doc_id").join(toks, "doc_id").join(fp, "doc_id")
+        .select("doc_id", "lang_pred", "n_chars", "n_tokens", "punct_ratio",
+                "stop_ratio", "quality", "ws_tokens", "bpe_tokens",
+                "fingerprint")
+    )
+
+
+def q_dedup_paragraph(spark, sf_dir):
+    """within-document repetition removal (exact, first occurrence kept) —
+    per-row Catalyst, no shuffle."""
+    from .ops import curation
+
+    return curation.dedup_paragraphs(_docs(spark, sf_dir))
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction counts + scrubbed-text hash. The corpus is synthetic,
+    so deterministic PII-shaped tokens are injected per doc first (id-keyed
+    email/IP/phone mix) — the scrubber sees realistic variety (0-2 emails,
+    0-1 IPs/phones per doc)."""
+    from .ops import curation
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(d % 3 != 0, F.format_string(" contact user%d@example.com", d % 97))
+        .otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.format_string(" from 10.0.%d.%d", d % 256, d % 100))
+        .otherwise(F.lit("")),
+        F.format_string(" call 555-0%03d", d % 1000),
+        F.when(d % 5 == 0, F.format_string(" cc admin%d@example.org", d % 89))
+        .otherwise(F.lit("")),
+    )
+    return curation.scrub_pii(docs.select("doc_id", injected.alias("text")))
+
+
+def q_contamination_ngram(spark, sf_dir):
+    """benchmark-contamination gate: distinct word 3-grams of every doc
+    joined (broadcast) against the 'benchmark' subset (doc_id % 50 == 0 —
+    a stand-in eval suite drawn from the same distribution, so overlap is
+    non-trivial)."""
+    from .ops import curation
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return curation.contamination_check(docs, bench)
+
+
 OPS_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
     "ngram_jaccard": q_ngram_jaccard,
+    "dedup_paragraph": q_dedup_paragraph,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
-    "lang_id": q_lang_id,
-    "quality_score": q_quality_score,
-    "token_stats": q_token_stats,
-    "doc_fingerprint": q_doc_fingerprint,
+    "text_stats": q_text_stats,
+    "pii_scrub": q_pii_scrub,
+    "contamination_ngram": q_contamination_ngram,
 }
