@@ -108,9 +108,11 @@ class Flwor:
 @dataclass
 class TryCatch:
     """try { E } catch * { H } — H sees $__err_code (the rewritten
-    $Q{..xqt-errors..}code braced-URI variable)."""
+    $Q{..xqt-errors..}code braced-URI variable). `errors` carries a named
+    catch spec ('file:out-of-range') when given instead of '*'."""
     expr: object
     handler: object
+    errors: str | None = None
 
 
 @dataclass
@@ -862,12 +864,15 @@ class ExprParser:
             if not (self.at_word("catch")):
                 raise ValueError("expr: try without catch")
             self.next()
+            errs = None
             if self.peek() == ("sym", "*"):
                 self.next()
+            elif self.peek()[0] in ("name", "qname"):
+                errs = self.next()[1]
             self.expect("sym", "{")
             h = self.parse_sub()
             self.expect("sym", "}")
-            return TryCatch(e, h)
+            return TryCatch(e, h, errs)
         if k == "name" and v == "if" and self.peek(1) == ("sym", "("):
             return self._if_expr()
         if k == "name" and v in ("let", "for") and self.peek(1)[0] == "var":
