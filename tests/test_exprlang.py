@@ -280,7 +280,7 @@ def test_reference_expression_acceptance():
         except Exception:
             pass
     handled = ok + routed
-    # measured 99.7% (727/729) at round 4 — pinned with slack for refactors
+    # measured 100% (729/729) at round 5 — pinned with slack for refactors
     assert handled / len(exprs) >= 0.97, f"{handled}/{len(exprs)}"
     _ = parse_expr  # the raw parser stays importable for the meter
 
