@@ -193,7 +193,9 @@ def test_curation_ops_plan_shape(spark):
         q_contamination_ngram, q_dedup_paragraph, q_pii_scrub,
     )
 
-    for q in (q_dedup_paragraph, q_pii_scrub):
+    from xidel_spark.queries_ops import q_text_stats
+
+    for q in (q_dedup_paragraph, q_pii_scrub, q_text_stats):
         plan = q(spark, "/root/testdata/sf0.001")._jdf.queryExecution() \
             .executedPlan().toString()
         assert "EvalPython" not in plan, q.__name__

@@ -33,11 +33,36 @@ def main(argv: list[str] | None = None) -> int:
     from xidel_spark.harness.sim import Sim, Skip
     from xidel_spark.session import get_spark
 
-    # only consume stdin when the invocation actually references it ('-'
-    # as an input/expression) — an open-but-idle stdin from a script
-    # runner must not block the process
+    # only consume stdin when the invocation can actually use it — an
+    # open-but-idle stdin from a script runner must not block the process.
+    # stdin is referenced by: a standalone '-' (input/expression/post),
+    # an '--opt=-' form, or the IMPLICIT form (no data source at all, the
+    # reference's `echo doc | xidel -e //x` shape, tests.sh:80)
+    def _wants_stdin(args: list[str]) -> bool:
+        if "-" in args or any(a.endswith("=-") for a in args):
+            return True
+        # implicit stdin: no positional data-source argument present.
+        # Options default to value-taking (misclassifying a flag only
+        # over-reads stdin, which the simulator then ignores; the reverse
+        # would silently drop piped documents)
+        from xidel_spark.harness.sim import _FLAG_OPTS
+
+        takes_value = False
+        for a in args:
+            if takes_value:
+                takes_value = False
+                continue
+            if a in ("[", "]"):
+                continue
+            if a.startswith("-"):
+                takes_value = "=" not in a and a not in _FLAG_OPTS \
+                    and a not in ("--xml", "--html", "--compressed")
+                continue
+            return False  # found a positional data source
+        return True
+
     stdin = None
-    if "-" in argv and not sys.stdin.isatty():
+    if not sys.stdin.isatty() and _wants_stdin(argv):
         try:
             stdin = sys.stdin.read()
         except Exception:  # noqa: BLE001

@@ -280,7 +280,11 @@ class Compiler:
                 F.lit("xidel_spark: JSON nested deeper than "
                       "XIDEL_SPARK_JSON_DEPTH — raise the env bound"),
             )
-            guarded = F.when(chk.isNull(), scalar).otherwise(scalar)
+            # branches MUST differ or SimplifyConditionals folds the CASE
+            # away and the assert never evaluates (round-5 review); at
+            # runtime chk is always NULL (assert_true raised otherwise),
+            # so the otherwise-branch is unreachable
+            guarded = F.when(chk.isNull(), scalar).otherwise(F.lit(None))
             return base.otherwise(guarded)
         sch = F.schema_of_variant(v)
         members = F.try_variant_get(v, "$", "array<variant>")
@@ -466,7 +470,9 @@ class Compiler:
                 F.lit("xidel_spark: JSON '//' walk exceeded "
                       "XIDEL_SPARK_JSON_DEPTH — raise the env bound"),
             )
-            return F.when(chk.isNull(), here).otherwise(here)
+            # differing branches keep the assert alive (see _jstring)
+            return F.when(chk.isNull(), here).otherwise(
+                F.lit(None).cast("array<variant>"))
         below = F.flatten(
             F.transform(self._json_members(v),
                         lambda m: self._json_descend(m, name, depth - 1))
@@ -483,7 +489,12 @@ class Compiler:
             depth = JSON_DEPTH
         isnull = v.isNull() | F.coalesce(F.is_variant_null(v), F.lit(False))
         sch = F.schema_of_variant(v)
-        num = self.to_string(TV(F.try_variant_get(v, "$", "double"), "double"))
+        # integers keep their EXACT lexical form (a double round-trip
+        # would merge values beyond 2^53 — round-5 review); fractional
+        # kinds canonicalize through the double printer so 1.0 == 1
+        int_kind = sch.rlike("^(BIGINT|INT|SMALLINT|TINYINT)")
+        num = F.when(int_kind, F.to_json(v)).otherwise(
+            self.to_string(TV(F.try_variant_get(v, "$", "double"), "double")))
         numeric = sch.rlike("^(BIGINT|INT|SMALLINT|TINYINT|DOUBLE|FLOAT|DECIMAL)")
         if depth <= 0:
             leftover = F.coalesce(F.size(self._json_members(v)) > 0, F.lit(False))
@@ -495,7 +506,8 @@ class Compiler:
             out = (F.when(isnull, F.lit("null"))
                    .when(numeric, num)
                    .otherwise(F.to_json(v)))
-            return F.when(chk.isNull(), out).otherwise(out)
+            # differing branches keep the assert alive (see _jstring)
+            return F.when(chk.isNull(), out).otherwise(F.lit(None))
         arr = F.concat(
             F.lit("["),
             F.concat_ws(",", F.transform(

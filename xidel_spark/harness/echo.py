@@ -56,7 +56,12 @@ def multipart_body(fields: list[str], root: Path) -> str:
             if ";type=" in spec:
                 spec, ctype = spec.split(";type=", 1)
             filename = spec
-            value = (root / spec).read_text()
+            p = root / spec
+            if not p.exists():
+                raise FileNotFoundError(spec)  # caller Skips gracefully
+            # byte-transparent like the rest of the harness (latin-1
+            # fixtures must round-trip)
+            value = p.read_bytes().decode("utf-8", errors="surrogateescape")
         out.append("--" + BOUNDARY + "\n")
         cd = f'Content-Disposition: form-data; name="{name}"'
         if filename is not None:

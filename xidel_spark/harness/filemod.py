@@ -168,9 +168,21 @@ class FileInterp:
         if op == "-":
             return lv - rv  # dateTime - dateTime → timedelta
         if op in ("<", "<=", ">", ">=", "=", "!="):
-            res = {"<": lv < rv, "<=": lv <= rv, ">": lv > rv,
-                   ">=": lv >= rv, "=": lv == rv, "!=": lv != rv}[op]
-            return bool(res)
+            # dispatch BEFORE evaluating: a dict literal would compute all
+            # six eagerly and TypeError on mixed/None operands (review r5)
+            if op == "=":
+                return bool(lv == rv)
+            if op == "!=":
+                return bool(lv != rv)
+            if lv is None or rv is None:
+                return False  # empty-sequence comparison is false
+            if op == "<":
+                return bool(lv < rv)
+            if op == "<=":
+                return bool(lv <= rv)
+            if op == ">":
+                return bool(lv > rv)
+            return bool(lv >= rv)
         if op == "||":
             return _item_str(lv) + _item_str(rv)
         raise FileError("file:unsupported", f"op {op}")

@@ -622,6 +622,8 @@ class Sim:
         except HttpError as e:
             raise XQError(f"HTTP {e.status} for {req.get('url')}",
                           ns="http", local=str(e.status)) from None
+        except OSError as e:
+            raise Skip(f"fetch fixture: {e}") from None
         if markup is None:
             raise Skip("online fetch")
         if fmt is None and (req.get("url") or "").endswith("/xidelecho.php"):
@@ -930,110 +932,109 @@ class Sim:
         from ..exprlang.compiler import XQError
         from ..extract.nodes import inner_xml_py
 
-        if True:
-            tag, attrs = n["tag"], n.get("attrs") or {}
-            if tag == "try":
-                # <try>steps<catch errors="..">steps</catch>..</try> —
-                # dynamic errors from body steps match the FIRST catch
-                # whose errors token list covers the (ns, local) code
-                # (goldens multipageTry/multipageTryHttp)
-                children = list(self._mp_children(nodes, n["id"]))
-                prev = getattr(self, "_xq_raise", False)
-                self._xq_raise = True
+        tag, attrs = n["tag"], n.get("attrs") or {}
+        if tag == "try":
+            # <try>steps<catch errors="..">steps</catch>..</try> —
+            # dynamic errors from body steps match the FIRST catch
+            # whose errors token list covers the (ns, local) code
+            # (goldens multipageTry/multipageTryHttp)
+            children = list(self._mp_children(nodes, n["id"]))
+            prev = getattr(self, "_xq_raise", False)
+            self._xq_raise = True
+            try:
+                for c in children:
+                    if c["tag"] != "catch":
+                        self._mp_one_step(nodes, c, base_dir)
+            except XQError as e:
+                self._xq_raise = prev
+                ns = getattr(e, "ns", "err")
+                loc = getattr(e, "local", "")
+                for c in children:
+                    if c["tag"] != "catch":
+                        continue
+                    spec = (c.get("attrs") or {}).get("errors")
+                    if self._catch_matches(spec, ns, loc):
+                        self._mp_steps(nodes, c["id"], base_dir)
+                        break
+                else:
+                    raise
+            finally:
+                self._xq_raise = prev
+            return
+        if tag == "s":
+            if self._mp_test(attrs):
+                self._mp_script(n.get("text") or "")
+        elif tag == "page":
+            url = self._mp_interp(attrs.get("url", ""))
+            base = self._mp_page["url"] if getattr(self, "_mp_page", None) else None
+            if url.lstrip().startswith("{"):
+                # page url bound to a request OBJECT variable
+                # (multipageonline: {"url":..,"method":"PUT","post":..})
                 try:
-                    for c in children:
-                        if c["tag"] != "catch":
-                            self._mp_one_step(nodes, c, base_dir)
-                except XQError as e:
-                    self._xq_raise = prev
-                    ns = getattr(e, "ns", "err")
-                    loc = getattr(e, "local", "")
-                    for c in children:
-                        if c["tag"] != "catch":
-                            continue
-                        spec = (c.get("attrs") or {}).get("errors")
-                        if self._catch_matches(spec, ns, loc):
-                            self._mp_steps(nodes, c["id"], base_dir)
-                            break
-                    else:
-                        raise
-                finally:
-                    self._xq_raise = prev
-                return
-            if tag == "s":
-                if self._mp_test(attrs):
-                    self._mp_script(n.get("text") or "")
-            elif tag == "page":
-                url = self._mp_interp(attrs.get("url", ""))
-                base = self._mp_page["url"] if getattr(self, "_mp_page", None) else None
-                if url.lstrip().startswith("{"):
-                    # page url bound to a request OBJECT variable
-                    # (multipageonline: {"url":..,"method":"PUT","post":..})
-                    try:
-                        obj = json.loads(url)
-                    except json.JSONDecodeError:
-                        raise Skip(f"multipage page object {url[:40]}") from None
-                    ref = ("__req__", self._request_of_object(obj))
-                elif url.startswith(("http://", "https://")):
-                    ref = ("__req__", {"url": url, "method": "GET"})
-                else:
-                    ref = (url, base, None)
-                d = self._retrieve(ref, 0)
-                if d is None:
-                    raise Skip(f"multipage page {url}")
-                self._mp_page = d
-                tf = attrs.get("templatefile")
-                if tf:
-                    p = (base_dir / tf) if base_dir and (base_dir / tf).exists() \
-                        else (self.ref_root / tf)
-                    if not p.exists():
-                        raise Skip(f"multipage templateFile {tf}")
-                    self._mp_template(p.read_text())
-                for c in self._mp_children(nodes, n["id"]):
-                    if c["tag"] == "template":
-                        self._mp_template(inner_xml_py(nodes, c["id"]) or "")
-            elif tag == "pattern":
-                href = attrs.get("href")
-                if href:
-                    p = (base_dir / href) if base_dir and (base_dir / href).exists() \
-                        else (self.ref_root / href)
-                    if not p.exists():
-                        raise Skip(f"multipage pattern {href}")
-                    self._mp_template(p.read_text())
-                else:
-                    self._mp_template(inner_xml_py(nodes, n["id"]) or "")
-            elif tag == "loop":
-                var = attrs.get("var")
-                shape, value = self._eval_value(attrs.get("list", "()"), None)
-                values = value if shape == "seq" else [value]
-                for v in values:
-                    if var:
-                        self.vars[var] = ("string", v)
-                    self._mp_steps_only(nodes, n["id"], base_dir)
-            elif tag == "if":
-                if self._mp_test(attrs):
-                    self._mp_steps(nodes, n["id"], base_dir)
-            elif tag == "choose":
-                # first <when test> that passes runs; else <otherwise>
-                # (goldens multipageChoose*)
-                for c in self._mp_children(nodes, n["id"]):
-                    cattrs = c.get("attrs") or {}
-                    if c["tag"] == "when" and self._mp_test(cattrs):
-                        self._mp_steps(nodes, c["id"], base_dir)
-                        break
-                    if c["tag"] == "otherwise":
-                        self._mp_steps(nodes, c["id"], base_dir)
-                        break
-            elif tag == "variable":
-                vname = attrs.get("name")
-                if vname and self._mp_test(attrs):
-                    self.vars[vname] = self._eval_value(
-                        n.get("text") or "''", getattr(self, "_mp_page", None)
-                    )
-            elif tag == "template":
-                return
+                    obj = json.loads(url)
+                except json.JSONDecodeError:
+                    raise Skip(f"multipage page object {url[:40]}") from None
+                ref = ("__req__", self._request_of_object(obj))
+            elif url.startswith(("http://", "https://")):
+                ref = ("__req__", {"url": url, "method": "GET"})
             else:
-                raise Skip(f"multipage step <{tag}>")
+                ref = (url, base, None)
+            d = self._retrieve(ref, 0)
+            if d is None:
+                raise Skip(f"multipage page {url}")
+            self._mp_page = d
+            tf = attrs.get("templatefile")
+            if tf:
+                p = (base_dir / tf) if base_dir and (base_dir / tf).exists() \
+                    else (self.ref_root / tf)
+                if not p.exists():
+                    raise Skip(f"multipage templateFile {tf}")
+                self._mp_template(p.read_text())
+            for c in self._mp_children(nodes, n["id"]):
+                if c["tag"] == "template":
+                    self._mp_template(inner_xml_py(nodes, c["id"]) or "")
+        elif tag == "pattern":
+            href = attrs.get("href")
+            if href:
+                p = (base_dir / href) if base_dir and (base_dir / href).exists() \
+                    else (self.ref_root / href)
+                if not p.exists():
+                    raise Skip(f"multipage pattern {href}")
+                self._mp_template(p.read_text())
+            else:
+                self._mp_template(inner_xml_py(nodes, n["id"]) or "")
+        elif tag == "loop":
+            var = attrs.get("var")
+            shape, value = self._eval_value(attrs.get("list", "()"), None)
+            values = value if shape == "seq" else [value]
+            for v in values:
+                if var:
+                    self.vars[var] = ("string", v)
+                self._mp_steps_only(nodes, n["id"], base_dir)
+        elif tag == "if":
+            if self._mp_test(attrs):
+                self._mp_steps(nodes, n["id"], base_dir)
+        elif tag == "choose":
+            # first <when test> that passes runs; else <otherwise>
+            # (goldens multipageChoose*)
+            for c in self._mp_children(nodes, n["id"]):
+                cattrs = c.get("attrs") or {}
+                if c["tag"] == "when" and self._mp_test(cattrs):
+                    self._mp_steps(nodes, c["id"], base_dir)
+                    break
+                if c["tag"] == "otherwise":
+                    self._mp_steps(nodes, c["id"], base_dir)
+                    break
+        elif tag == "variable":
+            vname = attrs.get("name")
+            if vname and self._mp_test(attrs):
+                self.vars[vname] = self._eval_value(
+                    n.get("text") or "''", getattr(self, "_mp_page", None)
+                )
+        elif tag == "template":
+            return
+        else:
+            raise Skip(f"multipage step <{tag}>")
 
     def _mp_steps_only(self, nodes, pid, base_dir):
         self._mp_steps(nodes, pid, base_dir)
@@ -1094,6 +1095,36 @@ class Sim:
         self._eval_expr(script, d, "expr")
         if not getattr(self, "_mp_keep_logs", False):
             del self.groups[mark:]
+
+    def _has_action_calls(self, src: str, kind: str) -> bool:
+        """true iff the PARSED expression actually calls x:call-action /
+        x:has-action — a substring in a string literal must not reroute
+        evaluation (review r5)."""
+        from ..exprlang import compile_expr
+        from ..exprlang import parser as P
+
+        try:
+            ast = compile_expr(src, json_literals=self._json_literals_for(kind)).ast
+        except Exception:  # noqa: BLE001 — normal path reports the parse error
+            return False
+
+        def walk(node) -> bool:
+            if isinstance(node, P.Call) \
+                    and node.qname.split(":")[-1] in ("call-action", "has-action"):
+                return True
+            for f in getattr(node, "__dataclass_fields__", {}):
+                v = getattr(node, f)
+                vs = v if isinstance(v, (list, tuple)) else [v]
+                for x in vs:
+                    if isinstance(x, (list, tuple)):
+                        if any(walk(y) for y in x
+                               if hasattr(y, "__dataclass_fields__")):
+                            return True
+                    elif hasattr(x, "__dataclass_fields__") and walk(x):
+                        return True
+            return False
+
+        return walk(ast)
 
     def _eval_expr_imperative(self, src: str, d, kind: str):
         """x:call-action / x:has-action (reference tests/more.actions):
@@ -1306,7 +1337,8 @@ class Sim:
             src = act.expr
             if kind in ("xquery", "expr"):
                 src = self._decode_entities(src)
-            if "call-action" in src or "has-action" in src:
+            if ("call-action" in src or "has-action" in src) \
+                    and self._has_action_calls(src, kind):
                 self._eval_expr_imperative(src, d, kind)
             else:
                 self._eval_expr(src, d, kind, base_dir=act.base_dir)

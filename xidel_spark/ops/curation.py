@@ -102,20 +102,21 @@ def contamination_check(
         benchmark.select(F.explode(shingles_col(F.col(text_col), n)).alias("ngram"))
         .distinct()
     )
-    doc_ngrams = docs.select(
+    # ONE shingle projection feeds both the count and the membership join
+    # (tokenizing the TB-scale side twice was the dominant waste — review
+    # r5); at extreme scale `ds` is the thing to materialize once
+    ds = docs.select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingles_col(F.col(text_col), n))).alias("ngram"),
+        F.array_distinct(shingles_col(F.col(text_col), n)).alias("__ds"),
     )
+    doc_ngrams = ds.select(F.col(id_col), F.explode(F.col("__ds")).alias("ngram"))
     hits = (
         doc_ngrams.join(F.broadcast(bench_ngrams), "ngram")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("__hits"))
     )
-    base = docs.select(
-        F.col(id_col),
-        F.size(F.array_distinct(shingles_col(F.col(text_col), n)))
-        .cast("int")
-        .alias("n_shingles"),
+    base = ds.select(
+        F.col(id_col), F.size(F.col("__ds")).cast("int").alias("n_shingles")
     )
     return base.join(hits, id_col, "left").select(
         F.col(id_col),

@@ -37,22 +37,55 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"))
 
 
+def punct_ratio_col(t: Column) -> Column:
+    punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
+    return qround(punct / F.greatest(F.length(t), F.lit(1)), 4)
+
+
+def stop_ratio_col(t: Column) -> Column:
+    stops = F.regexp_count(F.lower(t), F.lit(LANG_STOPWORDS["en"]))
+    return qround(stops / F.greatest(token_count(t), F.lit(1)), 4)
+
+
+def quality_col(t: Column) -> Column:
+    return qround(
+        F.least(token_count(t) / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(stop_ratio_col(t) * 5, F.lit(1.0)) * 0.3
+        + (1 - F.least(punct_ratio_col(t) * 10, F.lit(1.0))) * 0.2,
+        4,
+    )
+
+
+def lang_pred_col(t: Column) -> Column:
+    """stopword-panel argmax (ties -> alphabetical first): min over
+    (-hits, lang) structs."""
+    low = F.lower(t)
+    neg = [
+        F.struct(
+            (-F.regexp_count(low, F.lit(pat))).alias("neg_hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, pat in sorted(LANG_STOPWORDS.items())
+    ]
+    return F.array_min(F.array(*neg))["lang"]
+
+
+def fingerprint_col(t: Column) -> Column:
+    """md5-minimum over 3-gram shingles (winnowing's global-min special
+    case), falling back to md5(text) for short docs."""
+    sh = shingles_col(t, 3)
+    return F.coalesce(F.array_min(F.transform(sh, lambda s: F.md5(s))), F.md5(t))
+
+
 def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, n_chars, n_tokens, punct_ratio, stop_ratio, quality): scalar
     quality heuristics + a composite score in [0, 1]."""
     t = F.col(text_col)
     n_chars = F.length(t)
     n_tokens = token_count(t)
-    punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
-    stops = F.regexp_count(F.lower(t), F.lit(LANG_STOPWORDS["en"]))
-    punct_ratio = qround(punct / F.greatest(n_chars, F.lit(1)), 4)
-    stop_ratio = qround(stops / F.greatest(n_tokens, F.lit(1)), 4)
-    quality = qround(
-        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
-        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3
-        + (1 - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2,
-        4,
-    )
+    punct_ratio = punct_ratio_col(t)
+    stop_ratio = stop_ratio_col(t)
+    quality = quality_col(t)
     return docs.select(
         F.col(id_col),
         n_chars.cast("int").alias("n_chars"),
@@ -65,31 +98,15 @@ def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 
 def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, lang_pred): stopword-panel argmax (ties → alphabetical first)."""
-    t = F.lower(F.col(text_col))
-    scores = [
-        F.struct(
-            F.regexp_count(t, F.lit(pat)).alias("hits"), F.lit(lang).alias("lang")
-        )
-        for lang, pat in sorted(LANG_STOPWORDS.items(), reverse=True)
-    ]
-    # array_max on struct(hits, lang): max hits, ties → max lang of reversed
-    # order == alphabetically-last... use min over (-hits, lang) instead
-    neg = [
-        F.struct(
-            (-F.regexp_count(t, F.lit(pat))).alias("neg_hits"), F.lit(lang).alias("lang")
-        )
-        for lang, pat in sorted(LANG_STOPWORDS.items())
-    ]
-    best = F.array_min(F.array(*neg))
-    return docs.select(F.col(id_col), best["lang"].alias("lang_pred"))
+    return docs.select(
+        F.col(id_col), lang_pred_col(F.col(text_col)).alias("lang_pred")
+    )
 
 
 def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, fingerprint): rolling-shingle fingerprint = md5-minimum over
     3-gram shingles (winnowing's global-min special case), usable as a
     near-dup cluster key."""
-    sh = shingles_col(F.col(text_col), 3)
-    fp = F.array_min(F.transform(sh, lambda s: F.md5(s)))
     return docs.select(
-        F.col(id_col), F.coalesce(fp, F.md5(F.col(text_col))).alias("fingerprint")
+        F.col(id_col), fingerprint_col(F.col(text_col)).alias("fingerprint")
     )

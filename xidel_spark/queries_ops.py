@@ -90,21 +90,22 @@ def q_ann_topk_lsh(spark, sf_dir):
 def q_text_stats(spark, sf_dir):
     """language-ID + quality heuristics + token counts + fingerprint in
     one multi-column gate (one row per doc; the four legs were separate
-    driver rows before the 50-row record budget — semantics unchanged)."""
+    driver rows before the 50-row record budget — semantics unchanged).
+    All four are row-local functions of (doc_id, text), so this is ONE
+    select over ONE scan — no self-joins (review r5)."""
     docs = _docs(spark, sf_dir)
-    lang = ts.lang_id(docs)
-    qual = ts.quality_features(docs)
-    toks = docs.select(
+    t = F.col("text")
+    return docs.select(
         "doc_id",
-        ts.token_count(F.col("text")).cast("int").alias("ws_tokens"),
-        ts.bpe_ish_token_count(F.col("text")).cast("int").alias("bpe_tokens"),
-    )
-    fp = ts.doc_fingerprint(docs)
-    return (
-        lang.join(qual, "doc_id").join(toks, "doc_id").join(fp, "doc_id")
-        .select("doc_id", "lang_pred", "n_chars", "n_tokens", "punct_ratio",
-                "stop_ratio", "quality", "ws_tokens", "bpe_tokens",
-                "fingerprint")
+        ts.lang_pred_col(t).alias("lang_pred"),
+        F.length(t).cast("int").alias("n_chars"),
+        ts.token_count(t).cast("int").alias("n_tokens"),
+        ts.punct_ratio_col(t).alias("punct_ratio"),
+        ts.stop_ratio_col(t).alias("stop_ratio"),
+        ts.quality_col(t).alias("quality"),
+        ts.token_count(t).cast("int").alias("ws_tokens"),
+        ts.bpe_ish_token_count(t).cast("int").alias("bpe_tokens"),
+        ts.fingerprint_col(t).alias("fingerprint"),
     )
 
 

@@ -86,8 +86,21 @@ def checkpoint_reset_stats(df: DataFrame, eager: bool = True) -> DataFrame:
         import uuid
 
         base = spark.conf.get("xidel.crawl.checkpointDir", "/dev/shm/xidel_ck")
-        path = f"{base}/{uuid.uuid4().hex}"
+        # per-SESSION scope: prior checkpoints stay referenced by live
+        # DataFrames (the seen set unions every wave's increment), so —
+        # exactly like Spark's own sc.setCheckpointDir lifecycle — they
+        # are removed when the application's directory is cleaned, not
+        # per-call. The session hook below deletes the whole app dir on
+        # spark.stop() (review r5: unbounded tmpfs growth otherwise).
+        app_dir = f"{base}/{spark.sparkContext.applicationId}"
+        path = f"{app_dir}/{uuid.uuid4().hex}"
         df.write.mode("overwrite").parquet(path)
+        if not getattr(spark, "_xidel_ck_cleanup", False):
+            spark._xidel_ck_cleanup = True
+            import atexit
+            import shutil
+
+            atexit.register(shutil.rmtree, app_dir, True)
         return spark.read.parquet(path)
     ck = df.localCheckpoint(eager=eager)
     jdf = ck._jdf
