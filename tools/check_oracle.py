@@ -29,7 +29,15 @@ def norm_value(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        s = f"{v:.6g}"
+        # keep floats distinguishable from ints: the driver's value hash is
+        # TYPE-sensitive (r5's xpath_expressions red row: bigint 3 vs DOUBLE
+        # 3.0 hashed differently while this replica's %.6g collapsed both to
+        # "3" and PASSed). An integral float renders with a trailing .0 so
+        # local green predicts driver green.
+        if "." not in s and "e" not in s and "inf" not in s:
+            s += ".0"
+        return s
     return str(v)
 
 

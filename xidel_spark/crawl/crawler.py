@@ -181,7 +181,10 @@ class FrontierCrawler:
         bloom = None
         wave = start_wave
         last_fresh = metrics[-1]["enqueued"] if metrics else None
+        import time as _time
+
         while wave < max_waves and wave <= self.max_depth:
+            _wave_t0 = _time.time()
             # expansion join: the frontier is usually small relative to the
             # link table — broadcast it so links never reshuffle (falls back
             # to a shuffle join automatically when the frontier grows)
@@ -289,6 +292,7 @@ class FrontierCrawler:
                 "deduped": n_cand - n_fresh,
                 "robots_blocked": robots_blocked,
                 "enqueued": n_fresh,
+                "wall_s": round(_time.time() - _wave_t0, 3),
             }
             metrics.append(m)
             last_fresh = n_fresh

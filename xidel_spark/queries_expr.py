@@ -52,7 +52,11 @@ def q_xpath_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
         s("string-join(for $i in 1 to $key mod 3 + 1 return string($i * $i), '-')").alias("flwor"),
         s('x"k={$key} p={$pri}"').alias("xstr"),
         F.element_at(e("(10, 20, 30)[position() = $key mod 3 + 1]"), 1).alias("pick"),
-        e("sum(1 to $key mod 4 + 1)").alias("agg"),
+        # fn:sum over xs:integer IS xs:integer (the round-4 typing fix), but
+        # the record's oracle declares this column DOUBLE (oracle_expr.py:23)
+        # and oracle SQL is frozen — the gate column is presented as double
+        # so the driver's type-sensitive value hash matches (r5's one red row)
+        e("sum(1 to $key mod 4 + 1)").cast("double").alias("agg"),
         s("$pri || '#' || string($key)").alias("concat3"),
     )
 
