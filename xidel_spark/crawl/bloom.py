@@ -110,9 +110,23 @@ def build_bloom(
     n_shards: int = 16,
     eager: bool = True,
     partitioned_cache: bool = False,
+    approx_rows: int | None = None,
 ) -> ShardedBloom:
     """seen urls → word table via explode + bit_or groupBy (one shuffle of
     k small rows per url with map-side combine; nothing driver-side).
+
+    Large inputs (approx_rows unknown or above the conf threshold) are
+    first REPARTITIONED BY SHARD as (shard, h1, h2) triples — 3 longs per
+    url instead of k exploded probe rows. Without this the groupBy's
+    map-side combine is useless (every map task sees every shard, so
+    distinct (shard, widx) groups per task ≈ input rows per task — measured
+    r6: the 20M-url/64-shard build shuffled ~140M probe rows, 18.5 s);
+    with shards co-located each task covers only its shards' m/64 word
+    slots, partial aggregation reduces ~20×, and the url strings never
+    shuffle at all (guide §2.3/§2.5: shuffle a narrow proxy, aggregate
+    where the groups live). Callers that know the input is small (the
+    crawler's per-wave incremental merges) pass approx_rows to skip the
+    extra exchange.
 
     partitioned_cache=True persists the word table hash-partitioned on
     (shard, widx): the distributed probe join then reshuffles only the
@@ -122,11 +136,31 @@ def build_bloom(
     wants the cheap block representation."""
     m_bits, k = _params(max(1, capacity) // n_shards + 1, fpp)
     shard, probes = _probe_words(F.col(url_col), m_bits, k, n_shards)
-    bits = seen.select(shard.alias("shard"), F.explode(probes).alias("p")).select(
-        "shard",
-        (F.col("p.bit") / 64).cast("long").alias("widx"),
-        F.expr("shiftleft(1L, CAST(p.bit % 64 AS INT))").alias("word"),
-    )
+    spark = seen.sparkSession
+    shard_first_min = int(spark.conf.get("xidel.bloom.shardBuildMinRows", "2000000"))
+    if approx_rows is None or approx_rows >= shard_first_min:
+        h1 = F.pmod(F.xxhash64(F.col(url_col), F.lit(_H1_SEED)), F.lit(m_bits))
+        h2 = F.pmod(
+            F.xxhash64(F.col(url_col), F.lit(_H2_SEED)), F.lit(m_bits)
+        ).bitwiseOR(F.lit(1))
+        hashed = seen.select(
+            shard.alias("shard"), h1.alias("h1"), h2.alias("h2")
+        ).repartition(F.col("shard"))
+        h1c, h2c = F.col("h1"), F.col("h2")
+        bit = F.explode(
+            F.array(*[F.pmod(h1c + F.lit(i) * h2c, F.lit(m_bits)) for i in range(k)])
+        )
+        bits = hashed.select("shard", bit.alias("bit")).select(
+            "shard",
+            (F.col("bit") / 64).cast("long").alias("widx"),
+            F.expr("shiftleft(1L, CAST(bit % 64 AS INT))").alias("word"),
+        )
+    else:
+        bits = seen.select(shard.alias("shard"), F.explode(probes).alias("p")).select(
+            "shard",
+            (F.col("p.bit") / 64).cast("long").alias("widx"),
+            F.expr("shiftleft(1L, CAST(p.bit % 64 AS INT))").alias("word"),
+        )
     agg = bits.groupBy("shard", "widx").agg(F.bit_or("word").alias("word"))
     if partitioned_cache:
         df = agg.repartition(max(n_shards, 32), "shard", "widx").persist()

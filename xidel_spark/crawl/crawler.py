@@ -55,13 +55,19 @@ class FrontierCrawler:
         max_depth: int = UNLIMITED,
         use_bloom: bool | str = "auto",
         bloom_shards: int = 16,
-        partition_by_host: bool = True,
+        partition_by_host: bool | str = "auto",
         bucketed: bool = False,
         n_buckets: int = 32,
         state_prefix: str = "xs",
         broadcast_frontier_max: int = 2_000_000,
     ):
         self.broadcast_frontier_max = broadcast_frontier_max
+        # 'auto' (r6): the host repartition exists so politeness buckets ==
+        # shuffle partitions; with wait_ms=0 nothing consumes that layout
+        # and the extra per-wave exchange of the whole fresh frontier is
+        # pure cost (guide §2.4 — measured 0.12 s/wave at 1M nodes).
+        if partition_by_host == "auto":
+            partition_by_host = wait_ms > 0
         self.partition_by_host = partition_by_host
         self.bucketed = bucketed
         self.n_buckets = n_buckets
@@ -99,6 +105,18 @@ class FrontierCrawler:
         if seen_count >= min_seen and seen_count >= min_ratio * max(frontier_size or 1, 1):
             self._bloom_active = True
         return self._bloom_active
+
+    def _seen_join_side(self, seen: DataFrame) -> DataFrame:
+        """seen table prepared for the per-wave dedup left-join. On
+        statically-planned waves (AQE off) the planner would pick a
+        sort-merge join — sorting the whole seen side every wave — so the
+        join is hinted SHUFFLE_HASH: per-partition builds are bounded by
+        the wave sizing (~rows_per_part entries). Big AQE waves are left to
+        the runtime SMJ→SHJ conversion, which checks actual sizes."""
+        side = seen.withColumn("__seen", F.lit(True))
+        if getattr(self, "_wave_static", False):
+            side = side.hint("SHUFFLE_HASH")
+        return side
 
     def _filter_robots(self, cand: DataFrame) -> tuple[DataFrame, int]:
         if self.robots_rules is None:
@@ -161,7 +179,9 @@ class FrontierCrawler:
                 frontier = politeness_schedule(frontier, wait_ms=self.wait_ms)
             else:
                 frontier = frontier.withColumn("host", host_of(F.col("url")))
-            frontier = checkpoint_reset_stats(frontier.repartition(F.col("host")))
+            if self.partition_by_host:
+                frontier = frontier.repartition(F.col("host"))
+            frontier = checkpoint_reset_stats(frontier)
             seen = frontier.select("url")
             if seen_table is not None:
                 seen_table.overwrite(frontier.select("url"))
@@ -183,18 +203,73 @@ class FrontierCrawler:
         last_fresh = metrics[-1]["enqueued"] if metrics else None
         import time as _time
 
+        # scale-adaptive per-wave physical sizing (r6, guide §2): the wave
+        # loop's volume is KNOWN (exact per-wave counts ride the metrics),
+        # so partition counts are derived from the expected candidate rows
+        # instead of a session-wide constant, and AQE — whose per-query
+        # stage re-planning measured ~0.5 s/wave of pure driver latency at
+        # 1M nodes — stays on only for waves big enough to need runtime
+        # coalescing/skew handling. All thresholds conf-overridable; the
+        # plan shapes are identical, only partition counts change.
+        conf = spark.conf
+        base_parts = int(conf.get("spark.sql.shuffle.partitions"))
+        aqe_orig = conf.get("spark.sql.adaptive.enabled", "true")
+        rows_per_part = int(conf.get("xidel.crawl.waveRowsPerPartition", "50000"))
+        aqe_min = int(conf.get("xidel.crawl.aqeMinCandidates", "5000000"))
+        fanout_guess = float(conf.get("xidel.crawl.fanoutGuess", "4"))
+
+        def _wave_sizing() -> None:
+            # metrics is mutated in place by the wave loop, so metrics[-1]
+            # is always the PREVIOUS wave: its enqueued count is the live
+            # frontier size and candidates/enqueued its observed fanout.
+            # The dedup join's BIG side is the seen table (its whole right
+            # side shuffles every wave), so partitions are sized by
+            # max(expected candidates, |seen|) — sizing by candidates alone
+            # funnelled the 1M-row seen sort through one task at the tail.
+            fan, fresh = fanout_guess, 1
+            if metrics:
+                fresh = metrics[-1].get("enqueued") or 1
+                if metrics[-1].get("candidates"):
+                    fan = max(1.0, metrics[-1]["candidates"] / fresh)
+            seen_now = sum(m["enqueued"] for m in metrics)
+            expected = int(max(1, fresh * fan, seen_now))
+            parts = min(base_parts, max(1, -(-expected // rows_per_part)))
+            conf.set("spark.sql.shuffle.partitions", str(parts))
+            self._wave_static = expected <= aqe_min
+            conf.set(
+                "spark.sql.adaptive.enabled",
+                "false" if self._wave_static else "true",
+            )
+
+        try:
+            return self._run_waves(
+                spark, wave, max_waves, metrics, seen, seen_table, frontier,
+                watermark, bloom, last_fresh, _wave_sizing, _time,
+            )
+        finally:
+            conf.set("spark.sql.shuffle.partitions", str(base_parts))
+            conf.set("spark.sql.adaptive.enabled", aqe_orig)
+
+    def _run_waves(
+        self, spark, wave, max_waves, metrics, seen, seen_table, frontier,
+        watermark, bloom, last_fresh, _wave_sizing, _time,
+    ) -> CrawlRun:
         while wave < max_waves and wave <= self.max_depth:
             _wave_t0 = _time.time()
+            _wave_sizing()
             # expansion join: the frontier is usually small relative to the
             # link table — broadcast it so links never reshuffle (falls back
-            # to a shuffle join automatically when the frontier grows)
+            # to a shuffle join automatically when the frontier grows). Only
+            # the columns the expansion needs are broadcast (url/rank/depth
+            # — not host/scheduled_ms; guide §2.3).
+            fslim = frontier.select("url", "rank", "depth")
             frontier_side = (
-                F.broadcast(frontier)
+                F.broadcast(fslim)
                 if last_fresh is not None and last_fresh <= self.broadcast_frontier_max
-                else frontier
+                else fslim
             )
             cand = (
-                frontier_side.join(self.links, frontier.url == self.links.src)
+                frontier_side.join(self.links, fslim.url == self.links.src)
                 .groupBy(self.links.dst)
                 .agg(F.min(F.struct("rank", "idx", "depth")).alias("m"))
                 .select(
@@ -220,6 +295,7 @@ class FrontierCrawler:
                         seen,
                         capacity=max(1_000_000, 4 * seen_count),
                         n_shards=self.bloom_shards,
+                        approx_rows=seen_count,
                     )
                     if old is not None:
                         old.unpersist()
@@ -229,6 +305,7 @@ class FrontierCrawler:
                         capacity=bloom.capacity,
                         n_shards=self.bloom_shards,
                         eager=False,
+                        approx_rows=last_fresh,
                     )
                     old = bloom
                     bloom = bloom.merge(inc)
@@ -238,13 +315,13 @@ class FrontierCrawler:
                     "__seen", F.lit(None).cast("boolean")
                 ).unionByName(
                     maybe.join(
-                        seen.withColumn("__seen", F.lit(True)), "url", "left"
+                        self._seen_join_side(seen), "url", "left"
                     )
                 )
             else:
                 seen_side = seen_table.df() if seen_table is not None else seen
                 joined = cand.join(
-                    seen_side.withColumn("__seen", F.lit(True)), "url", "left"
+                    self._seen_join_side(seen_side), "url", "left"
                 )
             # ONE job per wave: candidate/dedup counts ride the frontier
             # checkpoint as an Observation over the pre-filter join rows —

@@ -51,6 +51,39 @@ from .order import seg, seg_py
 UNLIMITED = 1 << 30
 
 
+class _sized_loop:
+    """Scale-adaptive physical sizing for an iterative fixpoint (r6,
+    guide §2): shuffle partitions derived from the loop's bounded work
+    (expected_rows / xidel.crawl.waveRowsPerPartition, capped at the
+    session setting), and AQE — whose per-query stage re-planning measured
+    ~0.5 s of driver latency per tiny iteration — disabled when the whole
+    loop is below xidel.crawl.aqeMinCandidates rows. Restores both confs on
+    exit; results are unaffected (only partition counts / replanning
+    change). `static` tells callers whether the plan is statically sized
+    (they then hint SHUFFLE_HASH where the planner would otherwise pick a
+    sort-merge join on default-stat checkpointed inputs)."""
+
+    def __init__(self, spark: SparkSession, expected_rows: int):
+        self.spark = spark
+        self.expected = max(1, int(expected_rows))
+
+    def __enter__(self) -> bool:
+        conf = self.spark.conf
+        self._parts0 = conf.get("spark.sql.shuffle.partitions")
+        self._aqe0 = conf.get("spark.sql.adaptive.enabled", "true")
+        rpp = int(conf.get("xidel.crawl.waveRowsPerPartition", "50000"))
+        aqe_min = int(conf.get("xidel.crawl.aqeMinCandidates", "5000000"))
+        parts = min(int(self._parts0), max(1, -(-self.expected // rpp)))
+        static = self.expected <= aqe_min
+        conf.set("spark.sql.shuffle.partitions", str(parts))
+        conf.set("spark.sql.adaptive.enabled", "false" if static else "true")
+        return static
+
+    def __exit__(self, *exc) -> None:
+        self.spark.conf.set("spark.sql.shuffle.partitions", self._parts0)
+        self.spark.conf.set("spark.sql.adaptive.enabled", self._aqe0)
+
+
 @dataclass
 class CrawlResult:
     visited: DataFrame   # (url, rank, depth) — one row per visit (repeats possible if dedup off)
@@ -102,55 +135,82 @@ def crawl_exact(
 
     seed_urls = _seeds_df(spark, seeds, dedup=True).localCheckpoint(eager=True)
     best = seed_urls
-    links = links.select(
-        F.col("src"), F.col("idx").cast("int").alias("idx"), F.col("dst")
+    # materialize the link table ONCE, hash-partitioned on the join key:
+    # without this every relaxation step re-runs the whole upstream plan
+    # (corpus synthesis / span extraction — scan + groupBy + join + explode
+    # per iteration, guide §2.4) and re-shuffles links for the sort-merge
+    # join. The persisted InMemoryRelation keeps hashpartitioning(src), so
+    # only the (small) best side exchanges per step. Standard iterative-
+    # algorithm shape; MEMORY_AND_DISK spills at scale.
+    links = (
+        links.select(F.col("src"), F.col("idx").cast("int").alias("idx"), F.col("dst"))
+        .repartition(F.col("src"))
+        .persist()
     )
+    n_links = links.count()
     waves = 0
-    for it in range(max_iter):
-        waves += 1
-        # one relaxation step: per dst, the best (parent rank, link idx).
-        # Seeds are excluded: all data sources are enqueued into the dup
-        # list before any visit (xidelbase.pas:2099-2100), so a seed's rank
-        # is fixed and links back to a seed are always dedup-dropped.
-        cand = (
-            best.join(links, best.url == links.src)
-            .groupBy(links.dst)
-            .agg(F.min(F.struct("rank", "idx", "depth")).alias("m"))
-            .select(
-                F.col("dst").alias("url"),
-                F.concat(F.col("m.rank"), seg(F.col("m.idx"))).alias("rank"),
-                (F.col("m.depth") + 1).alias("depth"),
-            )
-            .join(seed_urls.select("url"), "url", "left_anti")
-        )
-        # convergence detection FUSED into the relaxation aggregate: carry
-        # the previous rank on the best side; a url changed iff it is new
-        # (no old rank) or relaxed below it. The count rides the checkpoint
-        # job as an Observation — no separate anti-join probe per iteration.
-        merged = best.withColumn("old_rank", F.col("rank")).unionByName(
-            cand.withColumn("old_rank", F.lit(None).cast("string"))
-        )
-        obs = Observation(f"relax_{it}")
-        new_best = (
-            merged.groupBy("url")
-            .agg(
-                F.min(F.struct("rank", "depth")).alias("m"),
-                F.min("old_rank").alias("old_rank"),
-            )
-            .withColumn(
-                "__changed",
-                (F.col("old_rank").isNull() | (F.col("m.rank") < F.col("old_rank"))).cast("int"),
-            )
-            .observe(obs, F.sum("__changed").alias("ch"))
-            .select("url", F.col("m.rank").alias("rank"), F.col("m.depth").alias("depth"))
-            .localCheckpoint(eager=True)
-        )
-        changed = int(obs.get["ch"] or 0)
-        if best is not seed_urls:
-            best.unpersist()  # superseded relaxation state
-        best = new_best
-        if changed == 0:
-            break
+    # best is broadcast into the relaxation join while provably small
+    # (|best| ≤ |seeds| + Σ changed, tracked exactly from the Observation)
+    # — the links side then needs neither exchange nor sort; falls back to
+    # the co-partitioned shuffle join when the frontier outgrows the cap,
+    # exactly like FrontierCrawler's frontier broadcast.
+    bcast_max = int(spark.conf.get("xidel.crawl.broadcastBestMax", "2000000"))
+    best_rows_ub = seed_urls.count()
+    try:
+        with _sized_loop(spark, n_links) as static:
+            for it in range(max_iter):
+                waves += 1
+                # one relaxation step: per dst, the best (parent rank, link
+                # idx). Seeds are excluded: all data sources are enqueued
+                # into the dup list before any visit (xidelbase.pas:
+                # 2099-2100), so a seed's rank is fixed and links back to a
+                # seed are always dedup-dropped.
+                lnk = links.hint("SHUFFLE_HASH") if static else links
+                bside = F.broadcast(best) if best_rows_ub <= bcast_max else best
+                cand = (
+                    bside.join(lnk, best.url == links.src)
+                    .groupBy(links.dst)
+                    .agg(F.min(F.struct("rank", "idx", "depth")).alias("m"))
+                    .select(
+                        F.col("dst").alias("url"),
+                        F.concat(F.col("m.rank"), seg(F.col("m.idx"))).alias("rank"),
+                        (F.col("m.depth") + 1).alias("depth"),
+                    )
+                    .join(seed_urls.select("url"), "url", "left_anti")
+                )
+                # convergence detection FUSED into the relaxation aggregate:
+                # carry the previous rank on the best side; a url changed iff
+                # it is new (no old rank) or relaxed below it. The count
+                # rides the checkpoint job as an Observation — no separate
+                # anti-join probe per iteration.
+                merged = best.withColumn("old_rank", F.col("rank")).unionByName(
+                    cand.withColumn("old_rank", F.lit(None).cast("string"))
+                )
+                obs = Observation(f"relax_{it}")
+                new_best = (
+                    merged.groupBy("url")
+                    .agg(
+                        F.min(F.struct("rank", "depth")).alias("m"),
+                        F.min("old_rank").alias("old_rank"),
+                    )
+                    .withColumn(
+                        "__changed",
+                        (F.col("old_rank").isNull() | (F.col("m.rank") < F.col("old_rank"))).cast("int"),
+                    )
+                    .observe(obs, F.sum("__changed").alias("ch"))
+                    .select("url", F.col("m.rank").alias("rank"), F.col("m.depth").alias("depth"))
+                    .localCheckpoint(eager=True)
+                )
+                changed = int(obs.get["ch"] or 0)
+                if best is not seed_urls:
+                    best.unpersist()  # superseded relaxation state
+                best = new_best
+                best_rows_ub += changed  # every new url counts as changed
+                if changed == 0:
+                    break
+    finally:
+        # best/visited derive from checkpointed RDDs only — links is free
+        links.unpersist()
     visited = _with_order(best)
     seen = best.select("url")
     return CrawlResult(visited=visited, seen=seen, waves=waves)
@@ -168,30 +228,43 @@ def expand_nodedup(
     Pure tree expansion: every link spawns a visit instance (goldens
     tests/output/maxlevel0..3, repetitionon). One wave per depth level.
     """
-    links = links.select(
-        F.col("src"), F.col("idx").cast("int").alias("idx"), F.col("dst")
+    # same iterative-loop materialization + sizing as crawl_exact: links is
+    # scanned once per depth level, never re-derived or re-shuffled
+    links = (
+        links.select(F.col("src"), F.col("idx").cast("int").alias("idx"), F.col("dst"))
+        .repartition(F.col("src"))
+        .persist()
     )
+    n_links = links.count()
     level = _seeds_df(spark, seeds, dedup=False).localCheckpoint(eager=True)
     layers = [level]
     enqueued_only = None
-    for d in range(max_depth + 1):
-        children = (
-            level.join(links, level.url == links.src)
-            .select(
-                F.col("dst").alias("url"),
-                F.concat("rank", seg(F.col("idx"))).alias("rank"),
-                F.lit(d + 1).alias("depth"),
-            )
-        )
-        if d < max_depth:
-            level = children.localCheckpoint(eager=True)
-            if level.limit(1).count() == 0:
-                break
-            layers.append(level)
-        else:
-            # children of depth-max_depth visits are enqueued (registered)
-            # but never fetched (xidelbase.pas:2012 depth check at fetch time)
-            enqueued_only = children.select("url")
+    try:
+        with _sized_loop(spark, n_links) as static:
+            for d in range(max_depth + 1):
+                lnk = links.hint("SHUFFLE_HASH") if static else links
+                children = (
+                    level.join(lnk, level.url == links.src)
+                    .select(
+                        F.col("dst").alias("url"),
+                        F.concat("rank", seg(F.col("idx"))).alias("rank"),
+                        F.lit(d + 1).alias("depth"),
+                    )
+                )
+                if d < max_depth:
+                    level = children.localCheckpoint(eager=True)
+                    if level.limit(1).count() == 0:
+                        break
+                    layers.append(level)
+                else:
+                    # children of depth-max_depth visits are enqueued
+                    # (registered) but never fetched (xidelbase.pas:2012
+                    # depth check at fetch time) — materialized so the
+                    # returned seen set does not re-reference links after
+                    # unpersist
+                    enqueued_only = children.select("url").localCheckpoint(eager=True)
+    finally:
+        links.unpersist()
     visited = layers[0]
     for extra in layers[1:]:
         visited = visited.unionByName(extra)
@@ -275,9 +348,15 @@ def crawl_waves(
     """
     from pyspark.sql import Observation
 
-    links = links.select(
-        F.col("src"), F.col("idx").cast("int").alias("idx"), F.col("dst")
+    # iterative-loop materialization + sizing (see crawl_exact): links is
+    # pinned once, co-partitioned on src; the sort-merge join on static
+    # waves is hinted to a shuffled-hash build
+    links = (
+        links.select(F.col("src"), F.col("idx").cast("int").alias("idx"), F.col("dst"))
+        .repartition(F.col("src"))
+        .persist()
     )
+    n_links = links.count()
     frontier = _seeds_df(spark, seeds, dedup=True).localCheckpoint(eager=True)
     # seen is an append-only UNION of per-wave frontier increments: each
     # increment is checkpointed exactly once, never rewritten (the Iceberg
@@ -287,47 +366,55 @@ def crawl_waves(
     visited_layers = [frontier]
     metrics: list[dict] = []
     wave = 0
-    while wave < max_waves:
-        depth = wave
-        if depth + 1 > max_depth:
-            break
-        cand = (
-            frontier.join(links, frontier.url == links.src)
-            .groupBy(links.dst)
-            .agg(F.min(F.struct("rank", "idx", "depth")).alias("m"))
-            .select(
-                F.col("dst").alias("url"),
-                F.concat(F.col("m.rank"), seg(F.col("m.idx"))).alias("rank"),
-                (F.col("m.depth") + 1).alias("depth"),
-            )
-        )
-        # ONE job per wave: the candidate/dedup counts ride the fresh
-        # checkpoint as an Observation over the pre-filter rows — no
-        # separate cand checkpoint and no extra count jobs
-        obs = Observation(f"wave_{wave}")
-        fresh = (
-            cand.join(seen.withColumn("__seen", F.lit(True)), "url", "left")
-            .observe(
-                obs,
-                F.count(F.lit(1)).alias("n_cand"),
-                F.sum(F.col("__seen").isNotNull().cast("long")).alias("n_dup"),
-            )
-            .where(F.col("__seen").isNull())
-            .drop("__seen")
-            .localCheckpoint(eager=True)
-        )
-        got = obs.get
-        n_cand = int(got["n_cand"] or 0)
-        n_fresh = n_cand - int(got["n_dup"] or 0)
-        metrics.append(
-            {"wave": wave, "candidates": n_cand, "deduped": n_cand - n_fresh, "enqueued": n_fresh}
-        )
-        if n_fresh == 0:
-            break
-        frontier = fresh
-        seen = seen.unionByName(frontier.select("url"))
-        visited_layers.append(frontier)
-        wave += 1
+    try:
+        with _sized_loop(spark, n_links) as static:
+            while wave < max_waves:
+                depth = wave
+                if depth + 1 > max_depth:
+                    break
+                lnk = links.hint("SHUFFLE_HASH") if static else links
+                cand = (
+                    frontier.join(lnk, frontier.url == links.src)
+                    .groupBy(links.dst)
+                    .agg(F.min(F.struct("rank", "idx", "depth")).alias("m"))
+                    .select(
+                        F.col("dst").alias("url"),
+                        F.concat(F.col("m.rank"), seg(F.col("m.idx"))).alias("rank"),
+                        (F.col("m.depth") + 1).alias("depth"),
+                    )
+                )
+                # ONE job per wave: the candidate/dedup counts ride the fresh
+                # checkpoint as an Observation over the pre-filter rows — no
+                # separate cand checkpoint and no extra count jobs
+                obs = Observation(f"wave_{wave}")
+                seen_side = seen.withColumn("__seen", F.lit(True))
+                if static:
+                    seen_side = seen_side.hint("SHUFFLE_HASH")
+                fresh = (
+                    cand.join(seen_side, "url", "left")
+                    .observe(
+                        obs,
+                        F.count(F.lit(1)).alias("n_cand"),
+                        F.sum(F.col("__seen").isNotNull().cast("long")).alias("n_dup"),
+                    )
+                    .where(F.col("__seen").isNull())
+                    .drop("__seen")
+                    .localCheckpoint(eager=True)
+                )
+                got = obs.get
+                n_cand = int(got["n_cand"] or 0)
+                n_fresh = n_cand - int(got["n_dup"] or 0)
+                metrics.append(
+                    {"wave": wave, "candidates": n_cand, "deduped": n_cand - n_fresh, "enqueued": n_fresh}
+                )
+                if n_fresh == 0:
+                    break
+                frontier = fresh
+                seen = seen.unionByName(frontier.select("url"))
+                visited_layers.append(frontier)
+                wave += 1
+    finally:
+        links.unpersist()
     visited = visited_layers[0]
     for extra in visited_layers[1:]:
         visited = visited.unionByName(extra)

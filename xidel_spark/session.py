@@ -35,9 +35,21 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # session-wide SMJ→SHJ conversion was tried and REVERTED (r6): the
+        # AQE threshold at 128 MB OOMed 32 concurrent hash builds in the
+        # 8 GB local JVM on the 20M-row anti-join, and at 64 MB the full
+        # bench still ran ~15% slower overall despite a faster anti-join
+        # leg (compressed-shuffle-size thresholds understate in-memory
+        # build cost ~5-8×, and SMJ spills gracefully where SHJ cannot).
+        # Shuffled-hash joins are instead applied as bounded per-join
+        # hints inside the wave loops (crawler/engine), where the wave
+        # sizing caps the build side.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 8g measured FASTER than 24g end-to-end on the full bench (112.8
+        # vs 130.5 s, r6): the larger heap's GC ergonomics cost more than
+        # the extra headroom buys on this DRAM-bound box. Env-overridable.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config(
