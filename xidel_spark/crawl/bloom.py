@@ -240,7 +240,13 @@ def flag_candidates(
         (F.col("p.bit") / 64).cast("long").alias("widx"),
         F.expr("shiftleft(1L, CAST(p.bit % 64 AS INT))").alias("mask"),
     )
-    joined = probe_rows.join(bloom.df, ["shard", "widx"], "left")
+    # SHUFFLE_HASH on the word side (r6): the default sort-merge join
+    # re-SORTS the cached word table on every probe (the partitioned cache
+    # is stored unsorted). A per-partition hash build is m/64/n_partitions
+    # words (~1.5 MB at 6M words / 64 partitions) and the persisted
+    # (shard, widx) layout already satisfies the join's distribution, so
+    # only the candidates' probe rows exchange.
+    joined = probe_rows.join(bloom.df.hint("SHUFFLE_HASH"), ["shard", "widx"], "left")
     hit = (F.col("word").isNotNull()) & (
         F.col("word").bitwiseAND(F.col("mask")) == F.col("mask")
     )
