@@ -109,13 +109,21 @@ def _seeds_df(spark: SparkSession, seeds: list[str] | DataFrame, dedup: bool) ->
     return df.select("url", seg(F.col("seed_idx").cast("int")).alias("rank"), F.lit(0).alias("depth"))
 
 
-def _with_order(visited: DataFrame) -> DataFrame:
+def _with_order(visited: DataFrame, approx_rows: int | None = None) -> DataFrame:
     """ord = global crawl-order position. Range-partitioned two-pass
     numbering (util.total_order) — the rank string already IS the total
-    order, so no single-partition sort is ever needed."""
+    order, so no single-partition sort is ever needed. Callers that track
+    the visited size pass approx_rows so the range partitioning is sized
+    by data instead of the session constant (guide §2)."""
     from ..util import total_order
 
-    return total_order(visited, ["rank"], out_col="ord")
+    n = None
+    if approx_rows is not None:
+        spark = visited.sparkSession
+        rpp = int(spark.conf.get("xidel.crawl.waveRowsPerPartition", "50000"))
+        base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        n = min(base, max(1, -(-int(approx_rows) // rpp)))
+    return total_order(visited, ["rank"], out_col="ord", num_partitions=n)
 
 
 def crawl_exact(
@@ -133,8 +141,6 @@ def crawl_exact(
     """
     from pyspark.sql import Observation
 
-    seed_urls = _seeds_df(spark, seeds, dedup=True).localCheckpoint(eager=True)
-    best = seed_urls
     # materialize the link table ONCE, hash-partitioned on the join key:
     # without this every relaxation step re-runs the whole upstream plan
     # (corpus synthesis / span extraction — scan + groupBy + join + explode
@@ -155,9 +161,13 @@ def crawl_exact(
     # the co-partitioned shuffle join when the frontier outgrows the cap,
     # exactly like FrontierCrawler's frontier broadcast.
     bcast_max = int(spark.conf.get("xidel.crawl.broadcastBestMax", "2000000"))
-    best_rows_ub = seed_urls.count()
     try:
         with _sized_loop(spark, n_links) as static:
+            # seed prep (a dedup groupBy + checkpoint) runs under the loop
+            # sizing too — at fixture/gate scale it is a 1-partition job
+            seed_urls = _seeds_df(spark, seeds, dedup=True).localCheckpoint(eager=True)
+            best = seed_urls
+            best_rows_ub = seed_urls.count()
             for it in range(max_iter):
                 waves += 1
                 # one relaxation step: per dst, the best (parent rank, link
@@ -211,7 +221,7 @@ def crawl_exact(
     finally:
         # best/visited derive from checkpointed RDDs only — links is free
         links.unpersist()
-    visited = _with_order(best)
+    visited = _with_order(best, approx_rows=best_rows_ub)
     seen = best.select("url")
     return CrawlResult(visited=visited, seen=seen, waves=waves)
 
@@ -236,11 +246,11 @@ def expand_nodedup(
         .persist()
     )
     n_links = links.count()
-    level = _seeds_df(spark, seeds, dedup=False).localCheckpoint(eager=True)
-    layers = [level]
     enqueued_only = None
     try:
         with _sized_loop(spark, n_links) as static:
+            level = _seeds_df(spark, seeds, dedup=False).localCheckpoint(eager=True)
+            layers = [level]
             for d in range(max_depth + 1):
                 lnk = links.hint("SHUFFLE_HASH") if static else links
                 children = (
@@ -357,17 +367,17 @@ def crawl_waves(
         .persist()
     )
     n_links = links.count()
-    frontier = _seeds_df(spark, seeds, dedup=True).localCheckpoint(eager=True)
-    # seen is an append-only UNION of per-wave frontier increments: each
-    # increment is checkpointed exactly once, never rewritten (the Iceberg
-    # append pattern — at 10^10 scale the seen table must not be copied
-    # per wave).
-    seen = frontier.select("url")
-    visited_layers = [frontier]
     metrics: list[dict] = []
     wave = 0
     try:
         with _sized_loop(spark, n_links) as static:
+            frontier = _seeds_df(spark, seeds, dedup=True).localCheckpoint(eager=True)
+            # seen is an append-only UNION of per-wave frontier increments:
+            # each increment is checkpointed exactly once, never rewritten
+            # (the Iceberg append pattern — at 10^10 scale the seen table
+            # must not be copied per wave).
+            seen = frontier.select("url")
+            visited_layers = [frontier]
             while wave < max_waves:
                 depth = wave
                 if depth + 1 > max_depth:
