@@ -49,6 +49,32 @@ def box_snapshot() -> dict:
     return out
 
 
+def contamination_leg(spark, sf_dir: str) -> dict:
+    """VERDICT r5 item 8: contamination_ngram at sf0.1 with a ~100k-ngram
+    benchmark set — times the broadcast-membership join and confirms the
+    broadcast survives planning (no SortMergeJoin of the documents)."""
+    from pyspark.sql import functions as F
+
+    from xidel_spark.ops import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    # ~2% of docs as the 'benchmark' suite: at sf0.1 that is ~100 docs ×
+    # ~1k distinct 3-gram shingles ≈ 1e5 benchmark n-grams
+    bench_set = docs.where(F.col("doc_id") % 50 == 0)
+    out = curation.contamination_check(docs, bench_set)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    t0 = time.time()
+    out.write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    return {
+        "contamination_sec": round(dt, 2),
+        "contamination_broadcast": "BroadcastExchange" in plan
+        and "SortMergeJoin" not in plan,
+    }
+
+
 def main() -> None:
     import bench
     from xidel_spark.session import get_spark
@@ -78,6 +104,7 @@ def main() -> None:
         "url_canonicalize_expr_sec": extras["url_canonicalize_expr_sec"],
         "box": {"before": before, "after": box_snapshot()},
     }
+    line.update(contamination_leg(spark, bench.SF_DIR))
     print(json.dumps(line))
     spark.stop()
 
